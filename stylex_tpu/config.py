@@ -1,0 +1,126 @@
+"""Typed configuration for the whole framework.
+
+One dataclass covers the union of the reference's ~60 ``train_from_folder``
+CLI kwargs (`/root/reference/stylex/cli.py:84-221`), the ``Trainer`` kwargs
+(`stylex_train.py:1002-1060`) and the ``USE_OLD_ARCHITECTURE`` module flag
+(`cli.py:17-22`), replacing the reference's duplicated 1800-line
+old/new training modules with a single ``arch`` enum field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import List, Optional, Tuple
+
+
+class Arch(str, Enum):
+    """Architecture variant (SURVEY §2.5).
+
+    OLD: raw classifier logits concatenated into w; unconditional D
+         (`stylex_train.py:1312,886`).
+    NEW: softmax probabilities concatenated after the mapping net; projection
+         (conditional) D; separate encoder LR (`stylex_train_new.py:332-333,
+         912-914,967-969`).
+    """
+
+    OLD = "old"
+    NEW = "new"
+
+
+@dataclass
+class ModelConfig:
+    """Everything needed to (re)build the networks — the superset of the
+    reference's persisted ``.config.json`` (`stylex_train.py:1215-1218`)."""
+
+    image_size: int = 64
+    network_capacity: int = 16
+    fmap_max: int = 512
+    latent_dim: int = 514  # 512 encoder dims + num_classes condition dims
+    style_depth: int = 8
+    lr_mlp: float = 0.1
+    transparent: bool = False
+    attn_layers: Tuple[int, ...] = ()
+    no_const: bool = False
+    num_classes: int = 2
+    encoder_dim: int = 512
+    arch: Arch = Arch.OLD
+    encoder_class: Optional[str] = None  # debug encoder registry name
+
+    @property
+    def mapping_dim(self) -> int:
+        """Mapping-net width: full latent for OLD, latent - num_classes for
+        NEW (`stylex_train_new.py:940`)."""
+        return self.latent_dim if self.arch == Arch.OLD else self.latent_dim - self.num_classes
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["arch"] = self.arch.value
+        d["attn_layers"] = list(self.attn_layers)
+        return json.dumps(d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ModelConfig":
+        d = json.loads(s)
+        d["arch"] = Arch(d.get("arch", "old"))
+        d["attn_layers"] = tuple(d.get("attn_layers", ()))
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparameters (defaults from `cli.py:85-170` /
+    `stylex_train.py:1002-1060`)."""
+
+    batch_size: int = 4
+    gradient_accumulate_every: int = 8
+    num_train_steps: int = 150_000
+    lr: float = 2e-4
+    ttur_mult: float = 1.5
+    encoder_lr: Optional[float] = None  # NEW arch uses 1e-5 (`stylex_train_new.py:967-969`)
+    mixed_prob: float = 0.9
+    kl_scaling: float = 1.0
+    rec_scaling: float = 1.0
+    alternating_training: bool = True
+    kl_rec_during_disc: bool = False  # NEW-arch option (`stylex_train_new.py:1062`)
+    sample_from_encoder: bool = True
+    dual_contrast_loss: bool = False
+    rel_disc_loss: bool = False
+    aug_prob: Optional[float] = None  # auto-set from dataset size when None
+    aug_types: Tuple[str, ...] = ("translation", "cutout")
+    dataset_aug_prob: float = 0.0
+    no_pl_reg: bool = False
+    gp_every: int = 4
+    pl_every: int = 32
+    pl_start_step: int = 5000
+    ema_beta: float = 0.995
+    ema_every: int = 10
+    ema_start_step: int = 20_000
+    ema_reset_every: int = 1000
+    ema_reset_until: int = 25_000
+    save_every: int = 500
+    evaluate_every: int = 50
+    calculate_fid_every: Optional[int] = None
+    calculate_fid_num_images: int = 12_800
+    trunc_psi: float = 0.75
+    num_image_tiles: int = 8
+    seed: int = 42
+    # Precision/perf knobs (TPU-native; replaces apex O1):
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Data parallel axis size; None = all visible devices.
+    num_devices: Optional[int] = None
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["aug_types"] = list(self.aug_types)
+        return json.dumps(d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainConfig":
+        d = json.loads(s)
+        d["aug_types"] = tuple(d.get("aug_types", ("translation", "cutout")))
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})

@@ -1,0 +1,39 @@
+from stylex_tpu.ops.modconv import modulated_conv2d, demod_scale
+from stylex_tpu.ops.blur import blur3, upsample2x_bilinear, upsample2x_blur, downsample_blur
+from stylex_tpu.ops.latents import (
+    latent_noise,
+    image_noise,
+    mixing_cutoff,
+    expand_styles,
+    mixed_w_styles,
+    truncate_w,
+    slerp,
+    lpips_normalize,
+)
+from stylex_tpu.ops.diffaug import (
+    diff_augment,
+    random_hflip,
+    augment_for_discriminator,
+    AUGMENT_TYPES,
+)
+
+__all__ = [
+    "modulated_conv2d",
+    "demod_scale",
+    "blur3",
+    "upsample2x_bilinear",
+    "upsample2x_blur",
+    "downsample_blur",
+    "latent_noise",
+    "image_noise",
+    "mixing_cutoff",
+    "expand_styles",
+    "mixed_w_styles",
+    "truncate_w",
+    "slerp",
+    "lpips_normalize",
+    "diff_augment",
+    "random_hflip",
+    "augment_for_discriminator",
+    "AUGMENT_TYPES",
+]

@@ -1,0 +1,73 @@
+"""Anti-aliasing blur and fused resample ops (NHWC).
+
+The reference blurs with a normalized 3-tap binomial filter
+[1,2,1]⊗[1,2,1]/16 via ``kornia.filters.filter2d`` whose default border mode
+is *reflect* (`/root/reference/stylex/stylex_train.py:144-153`). On TPU a
+small depthwise filter is bandwidth-bound, so we express it as two separable
+1-D convolutions that XLA fuses with neighbouring elementwise work, and we
+provide fused ``upsample_bilinear_2x + blur`` / ``blur + strided-conv``
+compositions used by the generator / discriminator resample paths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["blur3", "upsample2x_bilinear", "upsample2x_blur", "downsample_blur"]
+
+# Normalized binomial taps: outer([1,2,1],[1,2,1]) / 16.
+_TAPS = (0.25, 0.5, 0.25)
+
+
+def _sep_conv_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Apply the normalized [1,2,1]/4 filter along one spatial axis (reflect)."""
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (1, 1)
+    xp = jnp.pad(x, pad_width, mode="reflect")
+    lo = lax.slice_in_dim(xp, 0, x.shape[axis], axis=axis)
+    mid = lax.slice_in_dim(xp, 1, x.shape[axis] + 1, axis=axis)
+    hi = lax.slice_in_dim(xp, 2, x.shape[axis] + 2, axis=axis)
+    t0, t1, t2 = _TAPS
+    return lo * jnp.asarray(t0, x.dtype) + mid * jnp.asarray(t1, x.dtype) + hi * jnp.asarray(t2, x.dtype)
+
+
+def blur3(x: jax.Array) -> jax.Array:
+    """3×3 normalized binomial blur with reflect padding.
+
+    Matches the reference ``Blur`` module (kornia ``filter2d`` with
+    ``normalized=True`` and reflect border, `stylex_train.py:144-153`).
+
+    Args:
+      x: (batch, H, W, C) feature map.
+    """
+    return _sep_conv_axis(_sep_conv_axis(x, 1), 2)
+
+
+def upsample2x_bilinear(x: jax.Array) -> jax.Array:
+    """Bilinear 2× upsample, half-pixel centers (torch ``align_corners=False``).
+
+    Matches ``nn.Upsample(scale_factor=2, mode='bilinear',
+    align_corners=False)`` used by ``GeneratorBlock`` / ``RGBBlock``
+    (`stylex_train.py:604-629,677-686`).
+    """
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+def upsample2x_blur(x: jax.Array) -> jax.Array:
+    """Bilinear 2× upsample followed by the binomial blur.
+
+    The RGB skip-path resampler (`stylex_train.py:612-616`). Kept as one
+    function so XLA schedules the resize and the separable taps as a single
+    fused HBM pass.
+    """
+    return blur3(upsample2x_bilinear(x))
+
+
+def downsample_blur(x: jax.Array) -> jax.Array:
+    """Blur used immediately before a strided conv in the discriminator
+    downsample path (`stylex_train.py:733-736`). The strided conv itself
+    lives with the model (it has weights); the blur half is here."""
+    return blur3(x)
