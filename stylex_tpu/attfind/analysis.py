@@ -1,0 +1,126 @@
+"""AttFind analysis: greedy significant-style selection and scoring.
+
+NumPy re-implementations of the reference notebook's analysis cells
+(`/root/reference/stylex/run_attfind_combined.ipynb` cells 11-16), with the
+same greedy semantics so top-k coordinate lists are directly comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "filter_unstable_images",
+    "split_by_class",
+    "find_significant_styles",
+    "merge_and_score",
+    "style_vector_distances",
+]
+
+
+def filter_unstable_images(
+    style_change_effect: np.ndarray, effect_threshold: float = 0.3, num_indices_threshold: int = 150
+) -> np.ndarray:
+    """Zero out images with too many large effects (cell 11)."""
+    out = style_change_effect.copy()
+    unstable = (np.abs(out) > effect_threshold).sum(axis=(1, 2, 3)) > num_indices_threshold
+    out[unstable] = 0.0
+    return out
+
+
+def split_by_class(
+    style_change_effect: np.ndarray,
+    latents: np.ndarray,
+    base_probs: np.ndarray,
+    style_coordinates: np.ndarray,
+    minima: np.ndarray,
+    maxima: np.ndarray,
+    num_classes: int = 2,
+):
+    """Per-class effect/latent/distance dicts (cell 14)."""
+    labels = np.argmax(base_probs, axis=1)
+    distances = style_vector_distances(style_coordinates, minima, maxima)
+    effects: Dict[int, np.ndarray] = {}
+    w_cls: Dict[int, np.ndarray] = {}
+    dist_cls: Dict[int, np.ndarray] = {}
+    coords_cls: Dict[int, np.ndarray] = {}
+    for cls in range(num_classes):
+        idx = np.flatnonzero(labels == cls)
+        effects[cls] = style_change_effect[idx]
+        w_cls[cls] = latents[idx]
+        dist_cls[cls] = distances[idx]
+        coords_cls[cls] = style_coordinates[idx]
+    return effects, w_cls, dist_cls, coords_cls
+
+
+def style_vector_distances(style_coordinates: np.ndarray, minima: np.ndarray, maxima: np.ndarray) -> np.ndarray:
+    """Distance of each coordinate to its min/max extreme: (N, C, 2)."""
+    d_min = style_coordinates - minima[None]
+    d_max = maxima[None] - style_coordinates
+    return np.stack([d_min, d_max], axis=-1)
+
+
+def find_significant_styles(
+    style_change_effect: np.ndarray,
+    num_indices: int,
+    class_index: int,
+    max_image_effect: float = 0.2,
+    sindex_offset: int = 0,
+) -> List[Tuple[int, int]]:
+    """Greedy top-k StyleSpace coordinates (cell 15).
+
+    Repeatedly pick the (direction, sindex) with the largest mean positive
+    effect toward ``class_index`` over images whose accumulated effect is
+    still below ``max_image_effect``; zero the column and repeat.
+
+    Returns a list of (direction, sindex + offset) pairs.
+    """
+    num_images = style_change_effect.shape[0]
+    num_coords = style_change_effect.shape[2]
+    effect = np.maximum(0.0, style_change_effect[:, :, :, class_index]).reshape(num_images, -1)
+
+    images_effect = np.zeros(num_images)
+    picked: List[int] = []
+    while len(picked) < num_indices:
+        active = images_effect < max_image_effect
+        if not np.any(active):
+            # the reference's argmax over an empty selection would throw;
+            # fall back to all images, matching its practical usage where
+            # max_image_effect is generous
+            active = np.ones(num_images, bool)
+        next_s = int(np.argmax(np.mean(effect[active], axis=0)))
+        picked.append(next_s)
+        images_effect += effect[:, next_s]
+        effect[:, next_s] = 0.0
+    return [(s // num_coords, (s % num_coords) + sindex_offset) for s in picked]
+
+
+def merge_and_score(
+    style_change_effect: np.ndarray,
+    per_class_picks: Dict[int, List[Tuple[int, int]]],
+    num_indices: int,
+) -> List[Tuple[int, int]]:
+    """Merge both classes' picks into one ranked list (cell 16).
+
+    Class-1 picks flip direction; scores are
+    ``mean(effect[:, dir, s, 0]) + mean(effect[:, 1-dir, s, 1])`` and the
+    union is sorted descending.
+    """
+    class0 = per_class_picks.get(0, [])
+    class1 = per_class_picks.get(1, [])
+    sindex_class_0 = {s for _, s in class0}
+    joined = [(1 - d, s) for d, s in class1 if s not in sindex_class_0]
+    joined += class0
+    scores = []
+    for direction, sindex in joined:
+        other = 1 - direction
+        scores.append(
+            float(
+                np.mean(style_change_effect[:, direction, sindex, 0])
+                + np.mean(style_change_effect[:, other, sindex, 1])
+            )
+        )
+    order = np.argsort(scores)[::-1]
+    return [joined[i] for i in order][: max(num_indices, len(joined))]

@@ -1,0 +1,262 @@
+"""AttFind extraction — the StyleSpace attribute search, TPU-native.
+
+The reference (`/root/reference/stylex/run_attfind_combined.ipynb` cell 5)
+walks a Python triple loop — image x 2464 style coordinates x 2 directions —
+mutating ``to_style{1,2}.bias`` in place and running one batch-1 generator +
+classifier forward per perturbation: ~1.23M sequential forwards, ~5 h on the
+authors' GPU (cell 7 comment). That loop is embarrassingly parallel, and the
+bias mutation is exactly an additive delta on the style activations.
+
+Here the sweep is a *batch*: for each image, perturbation chunks of size
+``coord_batch`` run as one jitted generator+classifier forward with a
+(chunk, num_coords) one-hot delta matrix — pure MXU work with a single
+compile, optionally sharded over the mesh 'data' axis so a pod slice
+divides the coordinate axis (SURVEY §5.7). No model mutation, no float
+drift from 4928 ``+=``/``-=`` pairs per image (SURVEY §5.2).
+
+Output schema matches the reference's ``style_change_records.hdf5`` byte
+for byte in dataset names/shapes (cell 5) so downstream analysis (the
+reference notebook or ours) can read either.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stylex_tpu.config import Arch, ModelConfig
+from stylex_tpu.models.stylex import StylExModules, make_w
+from stylex_tpu.ops.latents import expand_styles
+from stylex_tpu.parallel.mesh import coordinate_sharding, replicated
+
+__all__ = ["AttFindRecords", "attfind_extraction", "find_discriminator_threshold", "save_records_hdf5", "load_records_hdf5"]
+
+
+@dataclasses.dataclass
+class AttFindRecords:
+    """In-memory mirror of ``style_change_records.hdf5`` (cell 5)."""
+
+    style_change: np.ndarray  # (N, 2, C, 2): [image, direction(min/max), sindex, class]
+    latents: np.ndarray  # (N, latent_dim)
+    base_prob: np.ndarray  # (N, num_classes) classifier logits of base generated image
+    minima: np.ndarray  # (C,)
+    maxima: np.ndarray  # (C,)
+    style_coordinates: np.ndarray  # (N, C)
+    original_images: np.ndarray  # (N, S, S, 3)
+    noise: np.ndarray  # (1, S, S, 1)
+    discriminator: np.ndarray  # (N, 1)
+
+
+def _phase1(modules, params, classifier_fn, cfg, images, noise):
+    """Encode -> w -> generate(+coords) -> D score -> base logits, batched."""
+    logits = classifier_fn(images)
+    enc = modules.encode(params, images)
+    w = make_w(cfg, enc, logits)
+    w_styles = expand_styles(w, modules.num_layers)
+    noise_b = jnp.broadcast_to(noise, (images.shape[0],) + noise.shape[1:])
+    gen, coords = modules.generate(params, w_styles, noise_b)
+    if cfg.arch == Arch.NEW:
+        probs = jax.nn.softmax(classifier_fn(gen), axis=-1)
+        d_out = modules.discriminate(params, gen, probs)
+    else:
+        d_out = modules.discriminate(params, gen)
+    base_logits = classifier_fn(gen)
+    return w, coords, d_out, base_logits
+
+
+def _make_sweep_fn(modules, params, classifier_fn, cfg, chunk: int, mesh=None):
+    """One jitted perturbation chunk: (chunk, C) deltas -> (chunk, classes)
+    logit changes."""
+
+    def sweep(w, noise, deltas, base_logits):
+        n = deltas.shape[0]
+        w_styles = expand_styles(jnp.broadcast_to(w, (n, w.shape[-1])), modules.num_layers)
+        noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
+        gen, _ = modules.generate(params, w_styles, noise_b, style_delta=deltas)
+        logits = classifier_fn(gen)
+        return logits - base_logits
+
+    if mesh is not None:
+        return jax.jit(
+            sweep,
+            in_shardings=(
+                replicated(mesh),
+                replicated(mesh),
+                coordinate_sharding(mesh, ndim=2),
+                replicated(mesh),
+            ),
+            out_shardings=coordinate_sharding(mesh, ndim=2),
+        )
+    return jax.jit(sweep)
+
+
+def attfind_extraction(
+    modules: StylExModules,
+    params,
+    classifier_fn: Callable[[jax.Array], jax.Array],
+    images: np.ndarray,
+    noise: np.ndarray,
+    shift_size: float = 1.0,
+    discriminator_threshold: Optional[float] = None,
+    use_discriminator: bool = False,
+    coord_batch: int = 512,
+    phase1_batch: int = 64,
+    mesh=None,
+    progress: bool = True,
+) -> AttFindRecords:
+    """Run the full AttFind extraction over a set of images.
+
+    Args:
+      images: (N, S, S, 3) candidate images in [0, 1] (pre-decoded; more than
+        N may be passed when ``use_discriminator`` filters some out — the
+        first N survivors are kept, like the notebook's streaming loop).
+      noise: (1, S, S, 1) fixed noise image shared by every forward (cell 7).
+      shift_size: multiplier on (extreme - current) shifts.
+      discriminator_threshold: keep images whose D score is *below* the
+        threshold (lower = more real under the hinge convention; cell 5).
+      coord_batch: perturbations per jitted chunk (pad to multiple of the
+        mesh size when sharded).
+      mesh: optional Mesh to shard the perturbation axis across devices.
+
+    Returns:
+      :class:`AttFindRecords`.
+    """
+    cfg = modules.cfg
+    C = modules.total_style_coords
+    images = np.asarray(images, np.float32)
+    noise_j = jnp.asarray(noise)
+
+    # ---- phase 1 (batched over images) ------------------------------------
+    phase1 = jax.jit(lambda imgs: _phase1(modules, params, classifier_fn, cfg, imgs, noise_j))
+    ws, coords, d_outs, base_logits = [], [], [], []
+    for start in range(0, images.shape[0], phase1_batch):
+        chunk = jnp.asarray(images[start : start + phase1_batch])
+        w, sc, d, bl = phase1(chunk)
+        ws.append(np.asarray(w))
+        coords.append(np.asarray(sc))
+        d_outs.append(np.asarray(d).reshape(-1))
+        base_logits.append(np.asarray(bl))
+    w_all = np.concatenate(ws)
+    coords_all = np.concatenate(coords)
+    d_all = np.concatenate(d_outs)
+    logits_all = np.concatenate(base_logits)
+
+    if use_discriminator and discriminator_threshold is not None:
+        keep = d_all < discriminator_threshold
+        if not np.any(keep):
+            raise ValueError("No images pass the threshold check")
+        images, w_all, coords_all, d_all, logits_all = (
+            images[keep], w_all[keep], coords_all[keep], d_all[keep], logits_all[keep]
+        )
+    N = images.shape[0]
+
+    # elementwise min/max over the image set (`get_min_max_style_vectors`)
+    minima = coords_all.min(axis=0)
+    maxima = coords_all.max(axis=0)
+
+    # ---- phase 2: batched perturbation sweep ------------------------------
+    sweep = _make_sweep_fn(modules, params, classifier_fn, cfg, coord_batch, mesh)
+    eye = np.eye(C, dtype=np.float32)
+    style_change = np.zeros((N, 2, C, 2), np.float32)
+
+    iterator = range(N)
+    if progress:
+        try:
+            import tqdm
+
+            iterator = tqdm.tqdm(iterator, desc="AttFind sweep (images)")
+        except Exception:
+            pass
+
+    for i in iterator:
+        w_i = jnp.asarray(w_all[i])
+        base_i = jnp.asarray(logits_all[i])
+        # shift magnitudes for both directions: (2, C)
+        shifts = np.stack(
+            [(minima - coords_all[i]) * shift_size, (maxima - coords_all[i]) * shift_size]
+        )
+        # full perturbation matrix (2*C, C): one-hot rows scaled per direction
+        deltas = np.concatenate([eye * shifts[0][:, None], eye * shifts[1][:, None]])
+        P = deltas.shape[0]
+        pad = (-P) % coord_batch
+        if pad:
+            deltas = np.concatenate([deltas, np.zeros((pad, C), np.float32)])
+        effects = []
+        for start in range(0, deltas.shape[0], coord_batch):
+            out = sweep(w_i, noise_j, jnp.asarray(deltas[start : start + coord_batch]), base_i)
+            effects.append(np.asarray(out))
+        eff = np.concatenate(effects)[:P].reshape(2, C, -1)
+        style_change[i] = eff
+
+    return AttFindRecords(
+        style_change=style_change,
+        latents=w_all,
+        base_prob=logits_all,
+        minima=minima,
+        maxima=maxima,
+        style_coordinates=coords_all,
+        original_images=images,
+        noise=np.asarray(noise, np.float32),
+        discriminator=d_all[:, None],
+    )
+
+
+def find_discriminator_threshold(
+    modules, params, classifier_fn, images: np.ndarray, noise: np.ndarray,
+    phase1_batch: int = 64,
+) -> np.ndarray:
+    """D scores of encoder-reconstructed images, used to pick a realism
+    threshold (`find_discriminator_threshold`, cell 5)."""
+    cfg = modules.cfg
+    noise_j = jnp.asarray(noise)
+    phase1 = jax.jit(lambda imgs: _phase1(modules, params, classifier_fn, cfg, imgs, noise_j))
+    outs = []
+    for start in range(0, images.shape[0], phase1_batch):
+        _, _, d, _ = phase1(jnp.asarray(images[start : start + phase1_batch]))
+        outs.append(np.asarray(d).reshape(-1))
+    return np.concatenate(outs)
+
+
+# ---------------------------------------------------------------- records IO
+
+
+def save_records_hdf5(records: AttFindRecords, path: str) -> str:
+    """Write ``style_change_records.hdf5`` with the reference's dataset
+    names/shapes (cell 5). Images are stored NCHW to match."""
+    import h5py
+
+    n, _, c, _ = records.style_change.shape
+    with h5py.File(path, "w") as f:
+        f.create_dataset("style_change", data=records.style_change.astype("f4"))
+        f.create_dataset("latents", data=records.latents.astype("f4"))
+        f.create_dataset("base_prob", data=records.base_prob.astype("f4"))
+        f.create_dataset("minima", data=records.minima[None].astype("f4"))
+        f.create_dataset("maxima", data=records.maxima[None].astype("f4"))
+        f.create_dataset("style_coordinates", data=records.style_coordinates.astype("f4"))
+        f.create_dataset(
+            "original_images", data=records.original_images.transpose(0, 3, 1, 2).astype("f4")
+        )
+        f.create_dataset("noise", data=records.noise.astype("f4"))
+        f.create_dataset("discriminator", data=records.discriminator.astype("f4"))
+    return path
+
+
+def load_records_hdf5(path: str) -> AttFindRecords:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return AttFindRecords(
+            style_change=np.array(f["style_change"]),
+            latents=np.array(f["latents"]),
+            base_prob=np.array(f["base_prob"]),
+            minima=np.array(f["minima"])[0],
+            maxima=np.array(f["maxima"])[0],
+            style_coordinates=np.array(f["style_coordinates"]),
+            original_images=np.array(f["original_images"]).transpose(0, 2, 3, 1),
+            noise=np.array(f["noise"]),
+            discriminator=np.array(f["discriminator"]),
+        )

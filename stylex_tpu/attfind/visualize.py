@@ -1,0 +1,142 @@
+"""Counterfactual visualisation panels.
+
+Functional equivalents of the reference notebook's rendering cells
+(`/root/reference/stylex/run_attfind_combined.ipynb` cells 17-23):
+single-coordinate counterfactual generation, side-by-side base/perturbed
+panels with probability captions, and per-style image selection by effect
+or by distance-to-extreme in StyleSpace. All generation goes through the
+explicit ``style_delta`` input — one batched forward for a whole panel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stylex_tpu.attfind.extraction import AttFindRecords
+from stylex_tpu.models.stylex import StylExModules
+from stylex_tpu.ops.latents import expand_styles
+
+__all__ = [
+    "generate_change_image_given_dlatent",
+    "generate_images_given_dlatent",
+    "visualize_style",
+    "visualize_style_by_distance_in_s",
+]
+
+
+def _gen(modules, params, classifier_fn, w, noise, delta=None):
+    w_styles = expand_styles(w, modules.num_layers)
+    noise_b = jnp.broadcast_to(jnp.asarray(noise), (w.shape[0],) + noise.shape[1:])
+    imgs, _ = modules.generate(params, w_styles, noise_b, style_delta=delta)
+    probs = jax.nn.softmax(classifier_fn(imgs), axis=-1)
+    return jnp.clip(imgs, 0.0, 1.0), probs
+
+
+def generate_change_image_given_dlatent(
+    modules: StylExModules,
+    params,
+    classifier_fn,
+    dlatent: np.ndarray,
+    noise: np.ndarray,
+    records: AttFindRecords,
+    sindex: int,
+    direction: int,
+    shift_size: float = 1.0,
+    class_index: int = 0,
+    image_index: Optional[int] = None,
+):
+    """Single-coordinate counterfactual (cell 17): returns
+    (perturbed_image, prob_of_class)."""
+    w = jnp.asarray(dlatent)[None]
+    coord = (
+        records.style_coordinates[image_index, sindex]
+        if image_index is not None
+        else float(np.mean(records.style_coordinates[:, sindex]))
+    )
+    extreme = records.minima[sindex] if direction == 0 else records.maxima[sindex]
+    shift = (extreme - coord) * shift_size
+    C = records.style_change.shape[2]
+    delta = jnp.zeros((1, C)).at[0, sindex].set(shift)
+    img, probs = _gen(modules, params, classifier_fn, w, noise, delta)
+    return np.asarray(img[0]), float(probs[0, class_index])
+
+
+def generate_images_given_dlatent(
+    modules, params, classifier_fn, dlatent, noise, records,
+    sindex: int, direction: int, shift_size: float = 1.0, class_index: int = 0,
+    image_index: Optional[int] = None, draw_probs: bool = True,
+):
+    """Side-by-side (base, perturbed) panel with probability captions
+    (cells 18-19). Returns an (H, 2W, 3) uint8 array."""
+    from stylex_tpu.utils.image import to_uint8
+
+    w = jnp.asarray(dlatent)[None]
+    base_img, base_probs = _gen(modules, params, classifier_fn, w, noise)
+    pert_img, pert_prob = generate_change_image_given_dlatent(
+        modules, params, classifier_fn, dlatent, noise, records,
+        sindex, direction, shift_size, class_index, image_index,
+    )
+    panel = np.concatenate([np.asarray(base_img[0]), pert_img], axis=1)
+    panel = to_uint8(panel[None])[0]
+    if draw_probs:
+        panel = _caption(panel, f"{float(base_probs[0, class_index]):.2f} -> {pert_prob:.2f}")
+    return panel
+
+
+def _caption(img: np.ndarray, text: str) -> np.ndarray:
+    from PIL import Image, ImageDraw
+
+    pil = Image.fromarray(img)
+    bar = Image.new("RGB", (pil.width, 12), (0, 0, 0))
+    ImageDraw.Draw(bar).text((2, 1), text, fill=(255, 255, 255))
+    out = Image.new("RGB", (pil.width, pil.height + 12))
+    out.paste(pil, (0, 0))
+    out.paste(bar, (0, pil.height))
+    return np.asarray(out)
+
+
+def visualize_style(
+    modules, params, classifier_fn, records: AttFindRecords,
+    sindex: int, direction: int, shift_size: float = 1.0, class_index: int = 0,
+    effect_threshold: float = 0.1, max_images: int = 10, min_images: int = 3,
+) -> Optional[np.ndarray]:
+    """Render panels for images where this style's effect exceeds the
+    threshold (cell 20); returns None when fewer than ``min_images`` qualify."""
+    effects = records.style_change[:, direction, sindex, class_index]
+    chosen = np.flatnonzero(effects > effect_threshold)[:max_images]
+    if len(chosen) < min_images:
+        return None
+    rows = []
+    for i in chosen:
+        rows.append(
+            generate_images_given_dlatent(
+                modules, params, classifier_fn, records.latents[i], records.noise, records,
+                sindex, direction, shift_size, class_index, image_index=int(i),
+            )
+        )
+    return np.concatenate(rows, axis=0)
+
+
+def visualize_style_by_distance_in_s(
+    modules, params, classifier_fn, records: AttFindRecords,
+    sindex: int, direction: int, shift_size: float = 1.0, class_index: int = 0,
+    max_images: int = 10,
+) -> np.ndarray:
+    """Render panels for images sorted by distance-to-extreme in StyleSpace
+    (cell 21) — images far from the target extreme change the most."""
+    extreme = records.minima[sindex] if direction == 0 else records.maxima[sindex]
+    dist = np.abs(extreme - records.style_coordinates[:, sindex])
+    order = np.argsort(dist)[::-1][:max_images]
+    rows = []
+    for i in order:
+        rows.append(
+            generate_images_given_dlatent(
+                modules, params, classifier_fn, records.latents[i], records.noise, records,
+                sindex, direction, shift_size, class_index, image_index=int(i),
+            )
+        )
+    return np.concatenate(rows, axis=0)

@@ -1,0 +1,115 @@
+"""Prefetching host loader producing stacked micro-batch tensors.
+
+Replaces the reference's ``DataLoader(num_workers=N) + cycle()``
+(`/root/reference/stylex/stylex_train.py:1220-1247`). A thread pool decodes
+ahead of the device; each ``next()`` yields the full per-step batch dict the
+jitted train step consumes ({'d_real','d_enc','g_imgs'} stacked as
+(accum, B, H, W, C)), so there is exactly one host->device transfer per
+phase per step instead of one per micro-batch.
+
+Also provides class-balanced sampling weights (`make_weights_for_balanced
+_classes`, `stylex_train.py:212-228`) used by the MNIST-1vA path.
+"""
+
+from __future__ import annotations
+
+import queue
+import random as pyrandom
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["StepBatchLoader", "balanced_class_weights", "SampleLoader"]
+
+
+def balanced_class_weights(labels: Sequence[int], num_classes: int) -> np.ndarray:
+    """Inverse-frequency weights for class-rebalanced sampling."""
+    labels = np.asarray(labels)
+    counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+    per_class = len(labels) / np.maximum(counts, 1)
+    return per_class[labels]
+
+
+class SampleLoader:
+    """Infinite shuffled sample stream with threaded decode-ahead."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0, num_workers: int = 8,
+                 weights: Optional[np.ndarray] = None, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self.weights = None
+        if weights is not None:
+            w = np.asarray(weights, np.float64)
+            self.weights = w / w.sum()
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _draw_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.weights is not None:
+            return self.rng.choice(n, size=self.batch_size, p=self.weights)
+        return self.rng.randint(0, n, size=self.batch_size)
+
+    def _producer(self):
+        while not self._stop.is_set():
+            idx = self._draw_indices()
+            futures = [self.pool.submit(self.dataset.__getitem__, int(i)) for i in idx]
+            batch = np.stack([f.result() for f in futures]).astype(np.float32)
+            try:
+                self.queue.put(batch, timeout=60.0)
+            except queue.Full:
+                continue
+
+    def __next__(self) -> np.ndarray:
+        return self.queue.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self.queue.get_nowait()
+        except queue.Empty:
+            pass
+        self.pool.shutdown(wait=False)
+
+
+class StepBatchLoader:
+    """Yields the full train-step batch dict.
+
+    The reference pulls ``next(loader)`` up to 2.5x accum times per step
+    (D-phase real + encoder batches, G-phase image batches,
+    `stylex_train.py:1303-1308,1374`); this loader materialises the same
+    sample budget as three stacked tensors.
+    """
+
+    def __init__(self, dataset, batch_size: int, accum: int, seed: int = 0,
+                 num_workers: int = 8, weights: Optional[np.ndarray] = None,
+                 need_g_real: bool = False):
+        self.accum = accum
+        self.need_g_real = need_g_real
+        self.sample_loader = SampleLoader(
+            dataset, batch_size, seed=seed, num_workers=num_workers, weights=weights,
+            prefetch=2 * (3 + int(need_g_real)) * accum,
+        )
+
+    def _stack(self, n: int) -> np.ndarray:
+        return np.stack([next(self.sample_loader) for _ in range(n)])
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        batch = {
+            "d_real": self._stack(self.accum),
+            "d_enc": self._stack(self.accum),
+            "g_imgs": self._stack(self.accum),
+        }
+        if self.need_g_real:
+            batch["g_real"] = self._stack(self.accum)
+        return batch
+
+    def close(self):
+        self.sample_loader.close()

@@ -1,0 +1,126 @@
+"""FID — Fréchet Inception Distance, computed on-device.
+
+The reference shells out to ``pytorch_fid`` with dumped PNG directories
+(`/root/reference/stylex/stylex_train.py:1577-1622`) and re-implements the
+same from pool3 features in TF (`FID_TensorFlow.ipynb` cells 21-28). Here
+the pipeline stays on the TPU: batches stream through a jitted feature
+extractor, running (sum, outer-product sum) moments accumulate on device,
+and only the final 2048x2048 sqrtm runs on host (scipy).
+
+Feature extractors are pluggable:
+
+* :func:`inception_pool3_features` — InceptionV3 pool3 (2048-d), the FID
+  standard; requires converted weights
+  (:func:`stylex_tpu.models.inception.convert_inception_state_dict`).
+* :func:`alexnet_features_fn` — seeded random AlexNet global-average
+  features (offline fallback; self-consistent for tracking training
+  progress, *not* comparable to published FID numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "FeatureStats",
+    "frechet_distance",
+    "fid_from_image_batches",
+    "alexnet_features_fn",
+]
+
+
+class FeatureStats:
+    """Streaming mean/covariance accumulator (device-side sums)."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.sum = jnp.zeros((dim,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        self.outer = jnp.zeros((dim, dim), self.sum.dtype)
+
+    def update(self, feats: jax.Array) -> None:
+        f = feats.astype(self.sum.dtype)
+        self.n += f.shape[0]
+        self.sum = self.sum + jnp.sum(f, axis=0)
+        self.outer = self.outer + f.T @ f
+
+    def finalize(self):
+        mu = np.asarray(self.sum) / self.n
+        cov = (np.asarray(self.outer) - self.n * np.outer(mu, mu)) / max(self.n - 1, 1)
+        return mu, cov
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """||mu1 - mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) with the standard
+    jitter fallback for near-singular covariances."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    cov1, cov2 = np.atleast_2d(cov1), np.atleast_2d(cov2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(cov1.shape[0]) * eps
+        covmean = linalg.sqrtm((cov1 + offset) @ (cov2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean))
+
+
+def alexnet_features_fn(seed: int = 0) -> Callable[[jax.Array], jax.Array]:
+    """Offline-fallback feature extractor: seeded random AlexNet trunk,
+    global-average-pooled conv5 (256-d)."""
+    from stylex_tpu.models.lpips import _alexnet_features, init_lpips_params
+
+    params = init_lpips_params(jax.random.PRNGKey(seed))
+
+    @jax.jit
+    def features(images: jax.Array) -> jax.Array:
+        b, h, w, c = images.shape
+        size = max(64, h)
+        if (h, w) != (size, size):
+            images = jax.image.resize(images, (b, size, size, c), method="bilinear")
+        x = images * 2.0 - 1.0
+        taps = _alexnet_features(params, x)
+        return jnp.mean(taps[-1], axis=(1, 2))
+
+    return features
+
+
+def fid_from_image_batches(
+    real_batches: Iterable[np.ndarray],
+    fake_batches: Iterable[np.ndarray],
+    feature_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> float:
+    """FID between two streams of (B, H, W, 3) image batches in [0, 1].
+
+    Defaults to InceptionV3 pool3 features when weights are available, else
+    the seeded AlexNet fallback.
+    """
+    if feature_fn is None:
+        try:
+            from stylex_tpu.models.inception import default_pool3_features
+
+            feature_fn = default_pool3_features()
+        except Exception:
+            feature_fn = None
+        if feature_fn is None:
+            feature_fn = alexnet_features_fn()
+
+    stats_r = stats_f = None
+    for batch in real_batches:
+        feats = feature_fn(jnp.asarray(batch))
+        if stats_r is None:
+            stats_r = FeatureStats(feats.shape[-1])
+        stats_r.update(feats)
+    for batch in fake_batches:
+        feats = feature_fn(jnp.asarray(batch))
+        if stats_f is None:
+            stats_f = FeatureStats(feats.shape[-1])
+        stats_f.update(feats)
+    mu1, c1 = stats_r.finalize()
+    mu2, c2 = stats_f.finalize()
+    return frechet_distance(mu1, c1, mu2, c2)

@@ -1,0 +1,393 @@
+"""The jitted StylEx train step — the whole of `Trainer.train()` as one XLA
+program.
+
+The reference's step (`/root/reference/stylex/stylex_train.py:1249-1506`,
+new-arch `stylex_train_new.py:1301-1545`) is a Python loop of micro-batches
+with per-iteration host RNG, in-place optimizers and three separate
+backward passes. Here the whole step is one ``jit``:
+
+* gradient accumulation is a ``lax.scan`` over stacked micro-batches — the
+  alternating encoder/prior schedule (`:1299-1328`) becomes a static
+  ``is_enc`` pattern consumed by ``lax.cond`` (both branches compile once,
+  only one executes per iteration),
+* gradient penalty (every 4 steps) and path-length penalty (every 32 after
+  5k) are ``lax.cond`` on traced step flags — no recompilation, no wasted
+  FLOPs on off-steps (`:1272-1273`),
+* one loss, one ``jax.grad`` per phase — XLA fuses what the reference ran
+  as three ``backward(retain_graph=True)`` passes (`:1434-1438`),
+* EMA update/reset run on-device inside the step (`:1475-1479`),
+* data parallelism: batches are sharded over the mesh 'data' axis by the
+  caller; since the step is a global-view SPMD program, gradient reduction
+  is an XLA all-reduce over ICI — the DDP/no_sync machinery
+  (`:274-285,1188-1193`) has no equivalent because it isn't needed.
+
+Faithful semantics notes:
+
+* hinge sign convention preserved (D: real→negative) so the AttFind
+  discriminator threshold transfers,
+* rec/kl are scaled 2x under alternating training (OLD: inline ``2 *``,
+  `:1411-1416`; NEW doubles the scalings once, `stylex_train_new.py:1166-
+  1170`),
+* ``kl_rec_during_disc`` (NEW-arch option, `stylex_train_new.py:1392-1411`)
+  is implemented with the author's evident intent: rec/KL gradients computed
+  during the D phase are *folded into the G-phase update*. (In the reference
+  these gradients are erased by ``G_opt.zero_grad()`` before ``G_opt.step()``
+  — the flag is a silent no-op there.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stylex_tpu.config import Arch, ModelConfig, TrainConfig
+from stylex_tpu.losses import (
+    classifier_kl_loss,
+    d_hinge_loss,
+    dual_contrastive_loss,
+    g_hinge_loss,
+    gradient_penalty,
+    path_length_penalty,
+    reconstruction_loss,
+)
+from stylex_tpu.models.stylex import StylExModules, ema_update, make_w, prior_w
+from stylex_tpu.ops.diffaug import augment_for_discriminator
+from stylex_tpu.ops.latents import expand_styles, image_noise, mixed_w_styles
+from stylex_tpu.train.state import StylExTrainState
+
+__all__ = ["make_train_step", "microbatch_schedule"]
+
+Params = Dict[str, Any]
+
+
+def microbatch_schedule(accum: int, alternating: bool) -> jnp.ndarray:
+    """The encoder-input flag per micro-batch.
+
+    The reference toggles a Python bool starting at False — so micro-batches
+    0, 2, 4, ... use the prior path and 1, 3, 5, ... the encoder path
+    (`stylex_train.py:1298-1328,1454`); without alternating training every
+    micro-batch is encoder-input."""
+    if not alternating:
+        return jnp.ones((accum,), bool)
+    return jnp.arange(accum) % 2 == 1
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _tree_zeros_like(t):
+    return jax.tree.map(jnp.zeros_like, t)
+
+
+def make_train_step(
+    modules: StylExModules,
+    classifier_fn: Callable[[jax.Array], jax.Array],
+    lpips_params: Params,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    g_tx,
+    d_tx,
+    dataset_size: Optional[int] = None,
+):
+    """Build the jitted train step.
+
+    Returns ``step(state, batch, rng) -> (state, metrics)`` where ``batch``
+    holds stacked micro-batches:
+
+    * ``d_real``: (accum, B, S, S, C) — D-phase real images,
+    * ``d_enc``:  (accum, B, S, S, C) — D-phase encoder/conditioning images,
+    * ``g_imgs``: (accum, B, S, S, C) — G-phase images,
+    * ``g_real`` (only when ``dual_contrast_loss``): (accum, B, S, S, C).
+    """
+    cfg = model_cfg
+    tc = train_cfg
+    accum = tc.gradient_accumulate_every
+    L = modules.num_layers
+    B_noise_size = cfg.image_size
+    is_enc_flags = microbatch_schedule(accum, tc.alternating_training)
+    compute_dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+
+    # rec/kl scaling: OLD always doubles inline; NEW doubles iff alternating.
+    double = 2.0 if (cfg.arch == Arch.OLD or tc.alternating_training) else 1.0
+    eff_rec = double * tc.rec_scaling
+    eff_kl = double * tc.kl_scaling
+
+    aug_prob = tc.aug_prob if tc.aug_prob is not None else 0.0
+    aug_types = tuple(tc.aug_types)
+
+    if tc.dual_contrast_loss:
+        d_loss_fn_ = dual_contrastive_loss
+        g_needs_reals = True
+    else:
+        d_loss_fn_ = d_hinge_loss
+        g_needs_reals = False
+
+    def cast(x):
+        return x.astype(compute_dtype) if compute_dtype != jnp.float32 else x
+
+    # ---------------------------------------------------------------- utils
+    def sample_prior_w(params: Params, key: jax.Array, batch: int, probs: jax.Array):
+        """Style-mixed prior w tensor (`mixed_list`/`noise_list`/`latent_to_w`,
+        `stylex_train.py:319-336`)."""
+        kz1, kz2, kmix, kcut = jax.random.split(key, 4)
+        z1 = jax.random.normal(kz1, (batch, cfg.mapping_dim))
+        z2 = jax.random.normal(kz2, (batch, cfg.mapping_dim))
+        w1 = modules.map_z(params, z1)
+        w2 = modules.map_z(params, z2)
+        mixed = jax.random.bernoulli(kmix, tc.mixed_prob)
+        cutoff = jnp.where(mixed, jax.random.randint(kcut, (), 0, L), L)
+        w_styles = mixed_w_styles(w1, w2, cutoff, L)
+        if cfg.arch == Arch.NEW:
+            pb = jnp.broadcast_to(probs[:, None, :], (batch, L, cfg.num_classes))
+            w_styles = jnp.concatenate([w_styles, pb], axis=-1)
+        return w_styles
+
+    def encoder_w(params: Params, images: jax.Array, logits: jax.Array):
+        enc = modules.encode(params, images)
+        return expand_styles(make_w(cfg, enc, logits), L), enc
+
+    def d_score(params: Params, images: jax.Array, probs, key: jax.Array):
+        aug = augment_for_discriminator(key, images, aug_prob, aug_types)
+        return modules.discriminate(params, aug, probs)
+
+    # ------------------------------------------------------------- D phase
+    def d_phase(params: Params, rng: jax.Array, d_real, d_enc, apply_gp):
+        def micro(carry, xs):
+            d_grads, gside_grads, div_acc, gp_acc, rng = carry
+            real_img, enc_img, is_enc = xs
+            rng, k_prior, k_noise, k_augf, k_augr = jax.random.split(rng, 5)
+            batch = real_img.shape[0]
+
+            if cfg.arch == Arch.NEW:
+                enc_logits = classifier_fn(enc_img)
+                probs = jax.nn.softmax(enc_logits, axis=-1)
+            else:
+                probs = None
+
+            def enc_branch(_):
+                if cfg.arch == Arch.NEW:
+                    logits = enc_logits
+                else:
+                    logits = classifier_fn(enc_img)
+                w, _ = encoder_w(params, enc_img, logits)
+                return w
+
+            def prior_branch(_):
+                return sample_prior_w(params, k_prior, batch, probs)
+
+            w_styles = lax.cond(is_enc, enc_branch, prior_branch, None)
+            noise = image_noise(k_noise, batch, B_noise_size)
+            fake, _ = modules.generate(params, w_styles, noise)
+            fake = lax.stop_gradient(fake)
+
+            def d_loss(dp):
+                p = {**params, "D": dp}
+                fake_scores = d_score(p, cast(fake), probs, k_augf)
+                real_fn = lambda im: d_score(p, cast(im), probs, k_augr)
+                real_scores = real_fn(real_img)
+                r, f = real_scores, fake_scores
+                if tc.rel_disc_loss:
+                    r = real_scores - jnp.mean(fake_scores)
+                    f = fake_scores - jnp.mean(real_scores)
+                div = d_loss_fn_(r, f)
+                gp = lax.cond(
+                    apply_gp,
+                    lambda: gradient_penalty(real_fn, real_img),
+                    lambda: jnp.zeros((), div.dtype),
+                )
+                return (div + gp) / accum, (div, gp)
+
+            (_, (div, gp)), grads = jax.value_and_grad(d_loss, has_aux=True)(params["D"])
+            d_grads = _tree_add(d_grads, grads)
+
+            # Optional rec/KL during the D phase (NEW arch, encoder
+            # micro-batches) — folded into the G-phase update (see module
+            # docstring).
+            if tc.kl_rec_during_disc and cfg.arch == Arch.NEW:
+                def aux_loss(gp_):
+                    p = {**params, **gp_}
+                    w, enc_out = encoder_w(p, enc_img, enc_logits)
+                    fake2, _ = modules.generate(p, w, noise)
+                    fake2_w = modules.encode(p, fake2)
+                    rec = tc.rec_scaling * reconstruction_loss(
+                        lpips_params, enc_img, fake2, fake2_w, enc_out
+                    ) / accum
+                    kl = tc.kl_scaling * classifier_kl_loss(enc_logits, classifier_fn(fake2)) / accum
+                    return rec + kl
+
+                gsub = {k: params[k] for k in ("encoder", "S", "G")}
+                aux_grads = jax.grad(aux_loss)(gsub)
+                aux_grads = jax.tree.map(
+                    lambda g: jnp.where(is_enc, g, jnp.zeros_like(g)), aux_grads
+                )
+                gside_grads = _tree_add(gside_grads, aux_grads)
+
+            return (d_grads, gside_grads, div_acc + div / accum, gp_acc + gp / accum, rng), None
+
+        gside0 = _tree_zeros_like({k: params[k] for k in ("encoder", "S", "G")})
+        init = (
+            _tree_zeros_like(params["D"]),
+            gside0,
+            jnp.zeros(()),
+            jnp.zeros(()),
+            rng,
+        )
+        (d_grads, gside_grads, div, gp, rng), _ = lax.scan(
+            micro, init, (d_real, d_enc, is_enc_flags)
+        )
+        return d_grads, gside_grads, div, gp, rng
+
+    # ------------------------------------------------------------- G phase
+    def g_phase(params: Params, rng, g_imgs, g_real, apply_pl, pl_mean, top_k, gside_init):
+        gsub_keys = ("encoder", "S", "G")
+
+        def micro(carry, xs):
+            g_grads, gl_acc, rec_acc, kl_acc, pl_last, rng = carry
+            img, real_img, is_enc = xs
+            rng, k_prior, k_noise, k_aug, k_augr, k_pl = jax.random.split(rng, 6)
+            batch = img.shape[0]
+
+            def g_loss(gp_):
+                p = {**params, **gp_}
+                logits_real = classifier_fn(img)
+                probs = jax.nn.softmax(logits_real, axis=-1) if cfg.arch == Arch.NEW else None
+
+                def enc_branch(_):
+                    w, enc_out = encoder_w(p, img, logits_real)
+                    return w, enc_out
+
+                def prior_branch(_):
+                    w = sample_prior_w(p, k_prior, batch, probs)
+                    return w, jnp.zeros((batch, cfg.encoder_dim), w.dtype)
+
+                w_styles, enc_out = lax.cond(is_enc, enc_branch, prior_branch, None)
+                noise = image_noise(k_noise, batch, B_noise_size)
+                fake, _ = modules.generate(p, w_styles, noise)
+                fake_logits = classifier_fn(fake)
+                fake_scores = d_score(p, cast(fake), probs, k_aug)
+
+                if g_needs_reals:
+                    real_scores = lax.stop_gradient(
+                        d_score(p, cast(real_img), probs, k_augr)
+                    )
+                    # top-k filtering not combined with dual-contrast in the
+                    # reference either; keep full batch.
+                    gen = dual_contrastive_loss(fake_scores, real_scores)
+                else:
+                    # generator top-k: keep the k smallest scores
+                    # (`stylex_train.py:1399-1405`).
+                    sorted_scores = jnp.sort(fake_scores)
+                    mask = (jnp.arange(batch) < top_k).astype(sorted_scores.dtype)
+                    gen = jnp.sum(sorted_scores * mask) / jnp.maximum(top_k, 1).astype(
+                        sorted_scores.dtype
+                    )
+
+                def pl_branch():
+                    gen_fn = lambda w: modules.generate(p, w, noise)[0]
+                    pen, mean_len = path_length_penalty(gen_fn, w_styles, k_pl, pl_mean)
+                    pen = jnp.where(pl_mean >= 0, pen, 0.0)
+                    return pen, mean_len
+
+                pl_pen, pl_len = lax.cond(
+                    apply_pl, pl_branch, lambda: (jnp.zeros(()), jnp.zeros(()))
+                )
+
+                def rec_kl_branch(_):
+                    fake_w = modules.encode(p, fake)
+                    rec = eff_rec * reconstruction_loss(
+                        lpips_params, img, fake, fake_w, enc_out
+                    ) / accum
+                    kl = eff_kl * classifier_kl_loss(logits_real, fake_logits) / accum
+                    return rec, kl
+
+                rec, kl = lax.cond(
+                    is_enc, rec_kl_branch, lambda _: (jnp.zeros(()), jnp.zeros(())), None
+                )
+                total = (gen + pl_pen) / accum + rec + kl
+                return total, (gen, rec, kl, pl_len)
+
+            gsub = {k: params[k] for k in gsub_keys}
+            (_, (gen, rec, kl, pl_len)), grads = jax.value_and_grad(g_loss, has_aux=True)(gsub)
+            g_grads = _tree_add(g_grads, grads)
+            pl_last = jnp.where(apply_pl, pl_len, pl_last)
+            return (g_grads, gl_acc + gen / accum, rec_acc + rec, kl_acc + kl, pl_last, rng), None
+
+        init = (gside_init, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), rng)
+        (g_grads, gl, rec, kl, pl_last, rng), _ = lax.scan(
+            micro, init, (g_imgs, g_real, is_enc_flags)
+        )
+        return g_grads, gl, rec, kl, pl_last, rng
+
+    # ------------------------------------------------------------ full step
+    def train_step(state: StylExTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        params = state.params
+        step = state.step
+        apply_gp = step % tc.gp_every == 0
+        apply_pl = (
+            (not tc.no_pl_reg)
+            & (step > tc.pl_start_step)
+            & (step % tc.pl_every == 0)
+        )
+        top_k = batch.get("top_k", jnp.asarray(batch["g_imgs"].shape[1], jnp.int32))
+        g_real = batch.get("g_real", batch["g_imgs"])
+
+        rng_d, rng_g = jax.random.split(rng)
+        d_grads, gside_from_d, d_div, gp, _ = d_phase(
+            params, rng_d, batch["d_real"], batch["d_enc"], apply_gp
+        )
+
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, params["D"])
+        new_d = jax.tree.map(jnp.add, params["D"], d_updates)
+        params = {**params, "D": new_d}
+
+        g_grads, g_loss, rec, kl, pl_len, _ = g_phase(
+            params, rng_g, batch["g_imgs"], g_real, apply_pl, state.pl_mean, top_k, gside_from_d
+        )
+        gsub = {k: params[k] for k in ("encoder", "S", "G")}
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, gsub)
+        gsub = jax.tree.map(jnp.add, gsub, g_updates)
+        params = {**params, **gsub}
+
+        # path-length running mean: EMA(0.99) (`stylex_train.py:1120,1467-1470`)
+        new_pl = jnp.where(
+            state.pl_mean < 0, pl_len, state.pl_mean * 0.99 + 0.01 * pl_len
+        )
+        pl_mean = jnp.where(apply_pl, new_pl, state.pl_mean)
+
+        # EMA of S and G every 10 steps after 20k (`:1475-1476`), hard reset
+        # every 1000 until 25k (`:1478-1479`).
+        do_ema = (step % tc.ema_every == 0) & (step > tc.ema_start_step)
+        do_reset = (step <= tc.ema_reset_until) & (step % tc.ema_reset_every == 2)
+        live = {"SE": params["S"], "GE": params["G"]}
+        averaged = ema_update(state.ema_params, live, tc.ema_beta)
+        ema = jax.tree.map(
+            lambda old, avg, cur: jnp.where(do_reset, cur, jnp.where(do_ema, avg, old)),
+            state.ema_params,
+            averaged,
+            live,
+        )
+
+        new_state = state.replace(
+            step=step + 1,
+            params=params,
+            ema_params=ema,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            pl_mean=pl_mean,
+        )
+        metrics = {
+            "d_loss": d_div,
+            "g_loss": g_loss,
+            "rec_loss": rec,
+            "kl_loss": kl,
+            "gp": gp,
+            "pl_mean": pl_mean,
+        }
+        return new_state, metrics
+
+    return train_step

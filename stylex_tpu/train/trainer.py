@@ -1,0 +1,432 @@
+"""Trainer — the host-side training engine.
+
+Equivalent of the reference ``Trainer``
+(`/root/reference/stylex/stylex_train.py:1002-1775`), re-shaped for a
+single-controller TPU program: all per-step compute lives in the jitted
+step (:mod:`stylex_tpu.train.steps`); this class owns only
+
+* lazy model/optimizer construction (`init_StylEx`, `:1180-1193`),
+* data sources: image folder or MNIST-1vA with class rebalancing, with the
+  reference's auto augmentation probability for small datasets
+  (`:1220-1247`),
+* checkpoint/resume with ``.config.json`` persistence (`:1198-1218,
+  1736-1774`) — plus optimizer state, which the reference drops,
+* NaN fault handling: non-finite losses reload the last checkpoint and
+  raise :class:`NanException`, retried by the CLI (`:1481-1486`,
+  `cli.py:71-76`),
+* periodic work: EMA cadence is inside the step; save / evaluate / FID
+  scheduling here (`:1490-1503`),
+* evaluation grids (regular / EMA / mixing-regularities / from-encoder,
+  `:1508-1575`), truncation (`:1624-1656`) and slerp interpolation GIFs
+  (`:1658-1698`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stylex_tpu.config import Arch, ModelConfig, TrainConfig
+from stylex_tpu.data.dataset import FolderDataset
+from stylex_tpu.data.loader import StepBatchLoader, balanced_class_weights
+from stylex_tpu.data.mnist import MNIST1vA, SyntheticImageDataset
+from stylex_tpu.models.classifiers import build_classifier
+from stylex_tpu.models.lpips import init_lpips_params, convert_lpips_state_dict
+from stylex_tpu.models.stylex import build_stylex, make_w
+from stylex_tpu.ops.latents import (
+    expand_styles,
+    image_noise,
+    latent_noise,
+    mixed_w_styles,
+    slerp,
+    truncate_w,
+)
+from stylex_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from stylex_tpu.train.state import StylExTrainState, create_train_state
+from stylex_tpu.train.steps import make_train_step
+from stylex_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from stylex_tpu.utils.image import save_image_grid
+from stylex_tpu.utils.logging import MetricLogger
+
+__all__ = ["Trainer", "NanException", "ModelLoader"]
+
+
+class NanException(Exception):
+    """Raised when losses go non-finite; the CLI retries up to 3 times
+    (`cli.py:71-76`)."""
+
+
+class Trainer:
+    def __init__(
+        self,
+        name: str = "default",
+        results_dir: str = "results",
+        models_dir: str = "models",
+        base_dir: str = "./",
+        model_cfg: Optional[ModelConfig] = None,
+        train_cfg: Optional[TrainConfig] = None,
+        classifier_name: str = "resnet",
+        classifier_path: Optional[str] = None,
+        lpips_path: Optional[str] = None,
+        tensorboard_dir: Optional[str] = None,
+        seed: int = 42,
+    ):
+        self.name = name
+        base = Path(base_dir)
+        self.base_dir = base
+        self.results_dir = base / results_dir
+        self.models_dir = base / models_dir
+        self.fid_dir = base / "fid" / name
+        self.config_path = self.models_dir / name / ".config.json"
+        self.model_cfg = model_cfg or ModelConfig()
+        self.train_cfg = train_cfg or TrainConfig()
+        assert math.log2(self.model_cfg.image_size).is_integer(), (
+            "image size must be a power of 2 (64, 128, 256, 512, 1024)"
+        )
+
+        self.classifier = build_classifier(
+            classifier_name,
+            self.model_cfg.image_size,
+            self.model_cfg.num_classes,
+            checkpoint_path=classifier_path,
+        )
+        if lpips_path is not None:
+            import torch
+
+            self.lpips_params = convert_lpips_state_dict(
+                torch.load(lpips_path, map_location="cpu", weights_only=True)
+            )
+        else:
+            self.lpips_params = init_lpips_params(jax.random.PRNGKey(7))
+
+        self.mesh = make_mesh(self.train_cfg.num_devices)
+        self.seed = seed
+        self.rng = jax.random.PRNGKey(seed)
+        self.modules = None
+        self.state: Optional[StylExTrainState] = None
+        self._step_fn = None
+        self.loader: Optional[StepBatchLoader] = None
+        self.dataset = None
+        self.aug_prob = self.train_cfg.aug_prob
+        self.av: Optional[jax.Array] = None
+        self.last_fid: Optional[float] = None
+        self.logger = MetricLogger(
+            tensorboard_dir, name, csv_path=str(self.results_dir / name / "metrics.csv")
+        )
+        self.init_folders()
+
+    # ------------------------------------------------------------------ setup
+    @property
+    def steps(self) -> int:
+        return int(self.state.step) if self.state is not None else 0
+
+    @property
+    def checkpoint_num(self) -> int:
+        return self.steps // self.train_cfg.save_every
+
+    def init_stylex(self) -> None:
+        """Lazy model init (`init_StylEx`, `stylex_train.py:1180-1193`)."""
+        if self.state is not None:
+            return
+        self.modules = build_stylex(self.model_cfg)
+        self.state, self._g_tx, self._d_tx = create_train_state(
+            jax.random.PRNGKey(self.seed), self.modules, self.model_cfg, self.train_cfg
+        )
+        tc_aug = self.train_cfg
+        if self.aug_prob is not None and self.aug_prob != tc_aug.aug_prob:
+            tc_aug = type(tc_aug)(**{**tc_aug.__dict__, "aug_prob": self.aug_prob})
+        step = make_train_step(
+            self.modules,
+            self.classifier.classify_images,
+            self.lpips_params,
+            self.model_cfg,
+            tc_aug,
+            self._g_tx,
+            self._d_tx,
+        )
+        self._step_fn = jax.jit(
+            step, in_shardings=(replicated(self.mesh), None, None), donate_argnums=(0,)
+        )
+        self.write_config()
+
+    def init_folders(self) -> None:
+        (self.results_dir / self.name).mkdir(parents=True, exist_ok=True)
+        (self.models_dir / self.name).mkdir(parents=True, exist_ok=True)
+
+    def clear(self) -> None:
+        """Wipe model/results/fid dirs (`Trainer.clear`, `:1729-1734`)."""
+        for d in (self.models_dir / self.name, self.results_dir / self.name, self.fid_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        self.init_folders()
+
+    def write_config(self) -> None:
+        self.config_path.write_text(self.model_cfg.to_json())
+
+    def load_config(self) -> None:
+        if self.config_path.exists():
+            self.model_cfg = ModelConfig.from_json(self.config_path.read_text())
+
+    # ------------------------------------------------------------------- data
+    def set_data_src(self, folder: str = "./", dataset_name: Optional[str] = None) -> None:
+        tc = self.train_cfg
+        weights = None
+        if dataset_name == "MNIST":
+            self.dataset = MNIST1vA(folder, digit=8)
+            weights = balanced_class_weights(self.dataset.targets, self.model_cfg.num_classes)
+        elif dataset_name == "synthetic":
+            self.dataset = SyntheticImageDataset(512, self.model_cfg.image_size)
+        else:
+            self.dataset = FolderDataset(
+                folder,
+                self.model_cfg.image_size,
+                transparent=self.model_cfg.transparent,
+                aug_prob=tc.dataset_aug_prob,
+                seed=self.seed,
+            )
+        self.loader = StepBatchLoader(
+            self.dataset,
+            tc.batch_size,
+            tc.gradient_accumulate_every,
+            seed=self.seed,
+            weights=weights,
+            need_g_real=tc.dual_contrast_loss,
+        )
+        # auto augmentation probability for small datasets (`:1243-1247`)
+        if self.aug_prob is None and len(self.dataset) < 1e5:
+            self.aug_prob = min(0.5, (1e5 - len(self.dataset)) * 3e-6)
+            print(f"autosetting augmentation probability to {round(self.aug_prob * 100)}%")
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> Dict[str, float]:
+        assert self.loader is not None, (
+            "You must first initialize the data source with `.set_data_src(<folder of images>)`"
+        )
+        self.init_stylex()
+        batch = next(self.loader)
+        batch = shard_batch(self.mesh, batch, batch_axis=1)
+        self.rng, step_key = jax.random.split(self.rng)
+        self.state, metrics = self._step_fn(self.state, batch, step_key)
+        metrics = {k: float(v) for k, v in metrics.items()}
+
+        step = self.steps - 1  # metrics belong to the step just executed
+        if not all(np.isfinite(v) for v in (metrics["g_loss"], metrics["d_loss"])):
+            print(
+                f"NaN detected for generator or discriminator. "
+                f"Loading from checkpoint #{self.checkpoint_num}"
+            )
+            self.load(self.checkpoint_num)
+            raise NanException
+
+        self.logger.log(step, metrics)
+        tc = self.train_cfg
+        if step % tc.save_every == 0:
+            self.save(step // tc.save_every)
+        if step % tc.evaluate_every == 0 or (step % 100 == 0 and step < 2500):
+            self.evaluate(
+                encoder_input=tc.sample_from_encoder, num=step // tc.evaluate_every
+            )
+        if tc.calculate_fid_every is not None and step % tc.calculate_fid_every == 0 and step != 0:
+            fid = self.calculate_fid(math.ceil(tc.calculate_fid_num_images / tc.batch_size))
+            self.last_fid = fid
+            with open(self.results_dir / self.name / "fid_scores.txt", "a") as f:
+                f.write(f"{step},{fid}\n")
+        self.av = None
+        return metrics
+
+    # ----------------------------------------------------------- persistence
+    def save(self, num: int) -> str:
+        self.write_config()
+        return save_checkpoint(str(self.models_dir), self.name, num, self.state)
+
+    def load(self, num: int = -1) -> None:
+        self.load_config()
+        self.init_stylex()
+        if num == -1:
+            found = latest_checkpoint(str(self.models_dir), self.name)
+            if found is None:
+                return
+            num, path = found
+        else:
+            path = str(self.models_dir / self.name / f"model_{num}.ckpt")
+        self.state = load_checkpoint(path, self.state)
+        # the reference reconstructs steps as num * save_every (`:1767-1770`)
+        if int(self.state.step) == 0:
+            self.state = self.state.replace(
+                step=jnp.asarray(num * self.train_cfg.save_every, jnp.int32)
+            )
+
+    # ------------------------------------------------------------ evaluation
+    def _style_mean(self, n: int = 2000, ema: bool = False) -> jax.Array:
+        """``av``: mean w over n z-samples (`truncate_style`, `:1624-1640`)."""
+        z = latent_noise(jax.random.PRNGKey(0), n, self.model_cfg.mapping_dim)
+        w = self.modules.map_z(self.state.params, z, ema=ema)
+        return jnp.mean(w, axis=0, keepdims=True)
+
+    def truncated_w(self, w: jax.Array, ema: bool = False) -> jax.Array:
+        if self.av is None:
+            self.av = self._style_mean(ema=ema)
+        return truncate_w(w, self.av, self.train_cfg.trunc_psi)
+
+    def generate_images(self, w_styles, noise, ema: bool = False, style_delta=None):
+        rgb, _ = self.modules.generate(self.state.params, w_styles, noise, style_delta, ema=ema)
+        return jnp.clip(rgb, 0.0, 1.0)
+
+    def evaluate(self, encoder_input: bool = False, num: int = 0, trunc: float = 1.0) -> None:
+        """Sample grids: regular / EMA / mixing-regularities, optionally from
+        the encoder round-trip (`Trainer.evaluate`, `:1508-1575`)."""
+        self.init_stylex()
+        cfg = self.model_cfg
+        tc = self.train_cfg
+        n = tc.num_image_tiles
+        num_rows = n
+        total = num_rows**2
+        L = self.modules.num_layers
+        key = jax.random.PRNGKey(num)
+        k_z, k_noise = jax.random.split(key)
+        noise = image_noise(k_noise, total, cfg.image_size)
+        ext = "png"
+        out = self.results_dir / self.name
+
+        if encoder_input and self.loader is not None:
+            imgs = []
+            need = total
+            while need > 0:
+                b = next(self.loader.sample_loader)
+                imgs.append(b)
+                need -= b.shape[0]
+            batch = jnp.asarray(np.concatenate(imgs, 0)[:total])
+            logits = self.classifier.classify_images(batch)
+            enc = self.modules.encode(self.state.params, batch)
+            w = make_w(cfg, enc, logits)
+            w_styles = expand_styles(w, L)
+            generated = self.generate_images(w_styles, noise)
+            save_image_grid(np.asarray(generated), str(out / f"{num}-from_encoder.{ext}"), num_rows)
+            generated = self.generate_images(w_styles, noise, ema=True)
+            save_image_grid(
+                np.asarray(generated), str(out / f"{num}-from_encoder-ema.{ext}"), num_rows
+            )
+
+        z = latent_noise(k_z, total, cfg.mapping_dim)
+        for ema, suffix in ((False, ""), (True, "-ema")):
+            w = self.modules.map_z(self.state.params, z, ema=ema)
+            w = self.truncated_w(w, ema=ema) if trunc < 1.0 else w
+            if cfg.arch == Arch.NEW:
+                probs = jax.nn.softmax(
+                    jax.random.normal(jax.random.PRNGKey(num + 1), (total, cfg.num_classes)),
+                    axis=-1,
+                )
+                w = jnp.concatenate([w, probs], axis=-1)
+            generated = self.generate_images(expand_styles(w, L), noise, ema=ema)
+            save_image_grid(np.asarray(generated), str(out / f"{num}{suffix}.{ext}"), num_rows)
+            self.av = None
+
+        # style mixing regularities grid (`:1555-1575`)
+        z1 = latent_noise(jax.random.PRNGKey(num + 2), num_rows, cfg.mapping_dim)
+        z2 = latent_noise(jax.random.PRNGKey(num + 3), num_rows, cfg.mapping_dim)
+        w1 = self.modules.map_z(self.state.params, z1, ema=True)
+        w2 = self.modules.map_z(self.state.params, z2, ema=True)
+        tt = L // 2
+        w1g = jnp.repeat(w1, num_rows, axis=0)  # row styles
+        w2g = jnp.tile(w2, (num_rows, 1))  # column styles
+        wmix = mixed_w_styles(w2g, w1g, tt, L)
+        if cfg.arch == Arch.NEW:
+            probs = jnp.full((total, cfg.num_classes), 1.0 / cfg.num_classes)
+            wmix = jnp.concatenate([wmix, jnp.broadcast_to(probs[:, None], (total, L, cfg.num_classes))], -1)
+        generated = self.generate_images(wmix, noise, ema=True)
+        save_image_grid(np.asarray(generated), str(out / f"{num}-mr.{ext}"), num_rows)
+
+    def generate_interpolation(self, num: int = 0, num_steps: int = 100,
+                               num_rows: Optional[int] = None, save_frames: bool = False) -> str:
+        """slerp interpolation GIF (`generate_interpolation`, `:1658-1698`)."""
+        self.init_stylex()
+        cfg = self.model_cfg
+        n = num_rows or self.train_cfg.num_image_tiles
+        total = n * n
+        L = self.modules.num_layers
+        noise = image_noise(jax.random.PRNGKey(num), total, cfg.image_size)
+        z_low = latent_noise(jax.random.PRNGKey(num + 10), total, cfg.mapping_dim)
+        z_high = latent_noise(jax.random.PRNGKey(num + 11), total, cfg.mapping_dim)
+        frames = []
+        from PIL import Image
+
+        from stylex_tpu.utils.image import make_grid, to_uint8
+
+        for ratio in np.linspace(0.0, 1.0, num_steps):
+            z = slerp(float(ratio), z_low, z_high)
+            w = self.modules.map_z(self.state.params, z, ema=True)
+            if cfg.arch == Arch.NEW:
+                probs = jnp.full((total, cfg.num_classes), 1.0 / cfg.num_classes)
+                w = jnp.concatenate([w, probs], axis=-1)
+            imgs = self.generate_images(expand_styles(w, L), noise, ema=True)
+            frames.append(Image.fromarray(make_grid(to_uint8(np.asarray(imgs)), nrow=n)))
+        out = self.results_dir / self.name / f"{num}.gif"
+        frames[0].save(out, save_all=True, append_images=frames[1:], duration=80, loop=0)
+        if save_frames:
+            fdir = self.results_dir / self.name / f"{num}"
+            fdir.mkdir(exist_ok=True)
+            for i, f in enumerate(frames):
+                f.save(fdir / f"{i}.png")
+        return str(out)
+
+    # -------------------------------------------------------------------- FID
+    def calculate_fid(self, num_batches: int) -> float:
+        """FID between real samples and EMA-generated samples
+        (`calculate_fid`, `:1577-1622`); features/math in
+        :mod:`stylex_tpu.eval.fid`, computed fully on device."""
+        from stylex_tpu.eval.fid import fid_from_image_batches
+
+        cfg = self.model_cfg
+        tc = self.train_cfg
+        L = self.modules.num_layers
+
+        def real_batches():
+            for _ in range(num_batches):
+                yield np.asarray(next(self.loader.sample_loader))
+
+        def fake_batches():
+            for i in range(num_batches):
+                k = jax.random.PRNGKey(i)
+                kz, kn = jax.random.split(k)
+                z = latent_noise(kz, tc.batch_size, cfg.mapping_dim)
+                w = self.modules.map_z(self.state.params, z, ema=True)
+                if cfg.arch == Arch.NEW:
+                    probs = jnp.full((tc.batch_size, cfg.num_classes), 1.0 / cfg.num_classes)
+                    w = jnp.concatenate([w, probs], axis=-1)
+                noise = image_noise(kn, tc.batch_size, cfg.image_size)
+                yield np.asarray(self.generate_images(expand_styles(w, L), noise, ema=True))
+
+        return fid_from_image_batches(real_batches(), fake_batches())
+
+
+class ModelLoader:
+    """Checkpoint -> inference API (`ModelLoader`, `stylex_train.py:1777-1800`)."""
+
+    def __init__(self, base_dir: str = "./", name: str = "default", load_from: int = -1,
+                 model_cfg: Optional[ModelConfig] = None, classifier_name: str = "resnet",
+                 classifier_path: Optional[str] = None):
+        self.trainer = Trainer(
+            name=name, base_dir=base_dir, model_cfg=model_cfg,
+            classifier_name=classifier_name, classifier_path=classifier_path,
+        )
+        self.trainer.load(load_from)
+
+    def noise_to_styles(self, noise: jax.Array, trunc_psi: Optional[float] = None) -> jax.Array:
+        w = self.trainer.modules.map_z(self.trainer.state.params, noise)
+        if trunc_psi is not None:
+            w = truncate_w(w, self.trainer._style_mean(), trunc_psi)
+        return w
+
+    def styles_to_images(self, w: jax.Array) -> jax.Array:
+        cfg = self.trainer.model_cfg
+        L = self.trainer.modules.num_layers
+        if w.ndim == 2:
+            w = expand_styles(w, L)
+        noise = jnp.zeros((w.shape[0], cfg.image_size, cfg.image_size, 1))
+        return self.trainer.generate_images(w, noise)

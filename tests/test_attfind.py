@@ -1,0 +1,123 @@
+"""AttFind tests: batched sweep equivalence, greedy selection, records IO."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stylex_tpu.attfind import (
+    attfind_extraction,
+    find_significant_styles,
+    filter_unstable_images,
+    merge_and_score,
+    load_records_hdf5,
+    save_records_hdf5,
+)
+from stylex_tpu.config import ModelConfig
+from stylex_tpu.models import build_stylex, init_stylex_params
+from stylex_tpu.models.classifiers import build_classifier
+from stylex_tpu.ops.latents import expand_styles
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
+    modules = build_stylex(cfg)
+    params = init_stylex_params(jax.random.PRNGKey(0), modules)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    images = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3)))
+    noise = np.asarray(jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 1)))
+    return cfg, modules, params, clf.classify_images, images, noise
+
+
+@pytest.fixture(scope="module")
+def records(tiny_setup):
+    cfg, modules, params, clf_fn, images, noise = tiny_setup
+    return attfind_extraction(
+        modules, params, clf_fn, images, noise, coord_batch=64, progress=False
+    )
+
+
+def test_extraction_shapes(tiny_setup, records):
+    cfg, modules, *_ = tiny_setup
+    C = modules.total_style_coords
+    assert records.style_change.shape == (4, 2, C, 2)
+    assert records.latents.shape == (4, cfg.latent_dim)
+    assert records.style_coordinates.shape == (4, C)
+    assert np.all(records.minima <= records.maxima)
+    assert np.isfinite(records.style_change).all()
+
+
+def test_sweep_matches_single_perturbation(tiny_setup, records):
+    """The batched chunked sweep must equal a one-at-a-time perturbed
+    forward — the reference's semantics (notebook cell 5)."""
+    cfg, modules, params, clf_fn, images, noise = tiny_setup
+    C = modules.total_style_coords
+    rng = np.random.RandomState(0)
+    for sindex in rng.choice(C, size=3, replace=False):
+        for direction in (0, 1):
+            i = 1  # image index
+            coord = records.style_coordinates[i, sindex]
+            extreme = records.minima[sindex] if direction == 0 else records.maxima[sindex]
+            shift = extreme - coord
+            delta = jnp.zeros((1, C)).at[0, sindex].set(shift)
+            w_styles = expand_styles(jnp.asarray(records.latents[i])[None], modules.num_layers)
+            gen, _ = modules.generate(params, w_styles, jnp.asarray(noise), style_delta=delta)
+            logits = clf_fn(gen)
+            want = np.asarray(logits[0]) - records.base_prob[i]
+            got = records.style_change[i, direction, sindex]
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_records_hdf5_roundtrip(records, tmp_path):
+    path = save_records_hdf5(records, str(tmp_path / "style_change_records.hdf5"))
+    back = load_records_hdf5(path)
+    np.testing.assert_allclose(back.style_change, records.style_change, rtol=1e-6)
+    np.testing.assert_allclose(back.original_images, records.original_images, rtol=1e-6)
+    np.testing.assert_allclose(back.minima, records.minima, rtol=1e-6)
+
+
+def test_find_significant_styles_greedy():
+    # Synthetic effects: coordinate 5 (direction 1) has the largest mean
+    # positive effect, then coordinate 2 (direction 0).
+    N, C = 6, 10
+    eff = np.zeros((N, 2, C, 2))
+    eff[:, 1, 5, 0] = 1.0
+    eff[:, 0, 2, 0] = 0.5
+    eff[:, 0, 7, 0] = 0.1
+    picks = find_significant_styles(eff, num_indices=3, class_index=0, max_image_effect=100.0)
+    assert picks[0] == (1, 5)
+    assert picks[1] == (0, 2)
+    assert picks[2] == (0, 7)
+
+
+def test_find_significant_styles_respects_image_budget():
+    # Once images accumulate effect beyond the budget they stop voting.
+    N, C = 4, 4
+    eff = np.zeros((N, 2, C, 2))
+    eff[:, 0, 0, 0] = 1.0  # first pick saturates every image
+    eff[:2, 0, 1, 0] = 0.9
+    eff[2:, 0, 2, 0] = 0.8
+    picks = find_significant_styles(eff, num_indices=2, class_index=0, max_image_effect=0.5)
+    assert picks[0] == (0, 0)
+    # all images saturated -> falls back to all-image vote: coordinate 1
+    assert picks[1] == (0, 1)
+
+
+def test_merge_and_score_flips_class1_directions():
+    N, C = 5, 6
+    eff = np.random.RandomState(0).rand(N, 2, C, 2) * 0.1
+    eff[:, 0, 3, 0] = 0.9  # strong class-0 signal
+    eff[:, 1, 4, 1] = 0.8  # strong class-1 signal at (dir=1, s=4)
+    picks = merge_and_score(eff, {0: [(0, 3)], 1: [(1, 4)]}, num_indices=2)
+    assert (0, 3) in picks
+    assert (0, 4) in picks  # direction flipped from class-1 pick
+
+
+def test_filter_unstable_images():
+    eff = np.zeros((3, 2, 100, 2))
+    eff[1, :, :, :] = 1.0  # 400 large effects -> unstable
+    out = filter_unstable_images(eff, effect_threshold=0.3, num_indices_threshold=150)
+    assert out[1].sum() == 0.0
+    assert (out[0] == eff[0]).all()

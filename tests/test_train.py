@@ -1,0 +1,116 @@
+"""Training engine tests: schedule, loss oracles, two live steps, checkpoint
+round-trip, EMA cadence."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from stylex_tpu.config import Arch, ModelConfig, TrainConfig
+from stylex_tpu.losses import (
+    classifier_kl_loss,
+    d_hinge_loss,
+    dual_contrastive_loss,
+    g_hinge_loss,
+)
+from stylex_tpu.models import build_stylex
+from stylex_tpu.models.classifiers import build_classifier
+from stylex_tpu.models.lpips import init_lpips_params
+from stylex_tpu.train.state import create_train_state
+from stylex_tpu.train.steps import make_train_step, microbatch_schedule
+from stylex_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, latest_checkpoint
+
+
+def test_microbatch_schedule():
+    np.testing.assert_array_equal(
+        np.asarray(microbatch_schedule(4, True)), [False, True, False, True]
+    )
+    np.testing.assert_array_equal(np.asarray(microbatch_schedule(3, False)), [True] * 3)
+
+
+def test_hinge_losses_match_torch():
+    rng = np.random.RandomState(0)
+    real = rng.randn(8).astype(np.float32)
+    fake = rng.randn(8).astype(np.float32)
+    want_d = (tF.relu(1 + torch.tensor(real)) + tF.relu(1 - torch.tensor(fake))).mean().item()
+    assert np.isclose(float(d_hinge_loss(jnp.array(real), jnp.array(fake))), want_d, atol=1e-6)
+    assert np.isclose(float(g_hinge_loss(jnp.array(fake))), fake.mean(), atol=1e-6)
+
+
+def test_kl_loss_matches_torch_kldiv():
+    rng = np.random.RandomState(1)
+    real = rng.randn(6, 2).astype(np.float32)
+    fake = rng.randn(6, 2).astype(np.float32)
+    want = torch.nn.KLDivLoss(reduction="batchmean", log_target=True)(
+        tF.log_softmax(torch.tensor(fake), dim=1), tF.log_softmax(torch.tensor(real), dim=1)
+    ).item()
+    got = float(classifier_kl_loss(jnp.array(real), jnp.array(fake)))
+    assert np.isclose(got, want, atol=1e-5)
+
+
+def test_dual_contrastive_matches_torch():
+    rng = np.random.RandomState(2)
+    real = rng.randn(5).astype(np.float32)
+    fake = rng.randn(5).astype(np.float32)
+
+    def torch_half(t1, t2):
+        t1 = t1.reshape(-1, 1)
+        t2 = t2.repeat(t1.shape[0], 1)
+        t = torch.cat([t1, t2], dim=-1)
+        return tF.cross_entropy(t, torch.zeros(t1.shape[0], dtype=torch.long))
+
+    tr, tf_ = torch.tensor(real), torch.tensor(fake)
+    want = (torch_half(tr, tf_) + torch_half(-tf_, -tr)).item()
+    got = float(dual_contrastive_loss(jnp.array(real), jnp.array(fake)))
+    assert np.isclose(got, want, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_train():
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=2, aug_prob=0.0)
+    modules = build_stylex(cfg)
+    state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+    batch = {
+        k: jax.random.uniform(jax.random.PRNGKey(i), (2, 2, 16, 16, 3))
+        for i, k in enumerate(("d_real", "d_enc", "g_imgs"))
+    }
+    return cfg, tc, modules, state, step, batch
+
+
+@pytest.mark.slow
+def test_two_steps_update_params_and_stay_finite(tiny_train):
+    cfg, tc, modules, state, step, batch = tiny_train
+    g0 = np.asarray(jax.tree.leaves(state.params["G"])[0])
+    state, m1 = step(state, batch, jax.random.PRNGKey(10))
+    state, m2 = step(state, batch, jax.random.PRNGKey(11))
+    assert int(state.step) == 2
+    for m in (m1, m2):
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+    g2 = np.asarray(jax.tree.leaves(state.params["G"])[0])
+    assert not np.allclose(g0, g2), "G params did not change"
+    # EMA untouched before ema_start_step
+    se = np.asarray(jax.tree.leaves(state.ema_params["SE"])[0])
+    s_init = np.asarray(jax.tree.leaves(state.params["S"])[0])
+    assert not np.allclose(se, s_init)  # live moved, EMA stayed
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tiny_train, tmp_path):
+    cfg, tc, modules, state, step, batch = tiny_train
+    state, _ = step(state, batch, jax.random.PRNGKey(12))
+    path = save_checkpoint(str(tmp_path), "m", 3, state)
+    found = latest_checkpoint(str(tmp_path), "m")
+    assert found is not None and found[0] == 3
+    zero_state = jax.tree.map(jnp.zeros_like, state)
+    restored = load_checkpoint(path, zero_state)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert int(restored.step) == int(state.step)
