@@ -124,6 +124,11 @@ class Trainer:
 
     # ------------------------------------------------------------------ setup
     @property
+    def full_params(self):
+        """Live + EMA parameter trees merged (the checkpointed layout)."""
+        return self.state.full_params()
+
+    @property
     def steps(self) -> int:
         return int(self.state.step) if self.state is not None else 0
 
@@ -266,7 +271,7 @@ class Trainer:
     def _style_mean(self, n: int = 2000, ema: bool = False) -> jax.Array:
         """``av``: mean w over n z-samples (`truncate_style`, `:1624-1640`)."""
         z = latent_noise(jax.random.PRNGKey(0), n, self.model_cfg.mapping_dim)
-        w = self.modules.map_z(self.state.params, z, ema=ema)
+        w = self.modules.map_z(self.full_params, z, ema=ema)
         return jnp.mean(w, axis=0, keepdims=True)
 
     def truncated_w(self, w: jax.Array, ema: bool = False) -> jax.Array:
@@ -275,7 +280,7 @@ class Trainer:
         return truncate_w(w, self.av, self.train_cfg.trunc_psi)
 
     def generate_images(self, w_styles, noise, ema: bool = False, style_delta=None):
-        rgb, _ = self.modules.generate(self.state.params, w_styles, noise, style_delta, ema=ema)
+        rgb, _ = self.modules.generate(self.full_params, w_styles, noise, style_delta, ema=ema)
         return jnp.clip(rgb, 0.0, 1.0)
 
     def evaluate(self, encoder_input: bool = False, num: int = 0, trunc: float = 1.0) -> None:
@@ -303,7 +308,7 @@ class Trainer:
                 need -= b.shape[0]
             batch = jnp.asarray(np.concatenate(imgs, 0)[:total])
             logits = self.classifier.classify_images(batch)
-            enc = self.modules.encode(self.state.params, batch)
+            enc = self.modules.encode(self.full_params, batch)
             w = make_w(cfg, enc, logits)
             w_styles = expand_styles(w, L)
             generated = self.generate_images(w_styles, noise)
@@ -315,7 +320,7 @@ class Trainer:
 
         z = latent_noise(k_z, total, cfg.mapping_dim)
         for ema, suffix in ((False, ""), (True, "-ema")):
-            w = self.modules.map_z(self.state.params, z, ema=ema)
+            w = self.modules.map_z(self.full_params, z, ema=ema)
             w = self.truncated_w(w, ema=ema) if trunc < 1.0 else w
             if cfg.arch == Arch.NEW:
                 probs = jax.nn.softmax(
@@ -330,8 +335,8 @@ class Trainer:
         # style mixing regularities grid (`:1555-1575`)
         z1 = latent_noise(jax.random.PRNGKey(num + 2), num_rows, cfg.mapping_dim)
         z2 = latent_noise(jax.random.PRNGKey(num + 3), num_rows, cfg.mapping_dim)
-        w1 = self.modules.map_z(self.state.params, z1, ema=True)
-        w2 = self.modules.map_z(self.state.params, z2, ema=True)
+        w1 = self.modules.map_z(self.full_params, z1, ema=True)
+        w2 = self.modules.map_z(self.full_params, z2, ema=True)
         tt = L // 2
         w1g = jnp.repeat(w1, num_rows, axis=0)  # row styles
         w2g = jnp.tile(w2, (num_rows, 1))  # column styles
@@ -360,7 +365,7 @@ class Trainer:
 
         for ratio in np.linspace(0.0, 1.0, num_steps):
             z = slerp(float(ratio), z_low, z_high)
-            w = self.modules.map_z(self.state.params, z, ema=True)
+            w = self.modules.map_z(self.full_params, z, ema=True)
             if cfg.arch == Arch.NEW:
                 probs = jnp.full((total, cfg.num_classes), 1.0 / cfg.num_classes)
                 w = jnp.concatenate([w, probs], axis=-1)
@@ -395,7 +400,7 @@ class Trainer:
                 k = jax.random.PRNGKey(i)
                 kz, kn = jax.random.split(k)
                 z = latent_noise(kz, tc.batch_size, cfg.mapping_dim)
-                w = self.modules.map_z(self.state.params, z, ema=True)
+                w = self.modules.map_z(self.full_params, z, ema=True)
                 if cfg.arch == Arch.NEW:
                     probs = jnp.full((tc.batch_size, cfg.num_classes), 1.0 / cfg.num_classes)
                     w = jnp.concatenate([w, probs], axis=-1)
