@@ -1,0 +1,207 @@
+"""Counterfactual evaluation — the FID-vs-top-k-attributes protocol.
+
+Re-creation of `/root/reference/stylex/FID_TensorFlow.ipynb` (SURVEY §2.12)
+on our stack:
+
+* :func:`find_significant_styles_filtered` — the greedy search *with* the
+  discriminator-rejection branch the PyTorch notebook drops (cells 11-12):
+  a candidate style is rejected if perturbing it moves the discriminator
+  score by more than ``change_threshold`` on probe images,
+* :func:`create_counterfactual_dataset` — apply the top-k shifts jointly
+  per image, with direction auto-flipped by the image's base class
+  (cell 20); the TF notebook's bias assign_add/assign_sub dance becomes a
+  single batched ``style_delta``,
+* :func:`fid_topk` — FID(original, generated) then FID(original,
+  counterfactual-with-top-1..k) (cells 24-26), streaming on-device features
+  instead of PNG directories, with a ``fid_results.csv`` writer.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stylex_tpu.attfind.extraction import AttFindRecords
+from stylex_tpu.eval.fid import fid_from_image_batches
+from stylex_tpu.models.stylex import StylExModules
+from stylex_tpu.ops.latents import expand_styles
+
+__all__ = [
+    "find_significant_styles_filtered",
+    "create_counterfactual_dataset",
+    "fid_topk",
+]
+
+
+def _discriminator_filter(
+    modules, params, classifier_fn, records: AttFindRecords,
+    sindex: int, class_index: int, num_images: int = 10,
+    change_threshold: float = 0.5, shift_size: float = 2.0,
+    effect_threshold: float = 0.2,
+) -> bool:
+    """True if the style passes: no probe image's D score moves more than
+    ``change_threshold`` when the coordinate is pushed to its extreme
+    (cell 11). Probes run as one batched forward per direction."""
+    C = records.style_change.shape[2]
+    noise = jnp.asarray(records.noise)
+    for direction in range(2):
+        effects = records.style_change[:, direction, sindex, class_index]
+        idx = np.flatnonzero(effects > effect_threshold)[:num_images]
+        if len(idx) == 0:
+            continue
+        w = jnp.asarray(records.latents[idx])
+        w_styles = expand_styles(w, modules.num_layers)
+        noise_b = jnp.broadcast_to(noise, (len(idx),) + noise.shape[1:])
+        extreme = records.minima[sindex] if direction == 0 else records.maxima[sindex]
+        shifts = (extreme - records.style_coordinates[idx, sindex]) * shift_size
+        deltas = np.zeros((len(idx), C), np.float32)
+        deltas[:, sindex] = shifts
+        base, _ = modules.generate(params, w_styles, noise_b)
+        pert, _ = modules.generate(params, w_styles, noise_b, style_delta=jnp.asarray(deltas))
+        if modules.cfg.arch.value == "new":
+            probs_b = jax.nn.softmax(classifier_fn(base), axis=-1)
+            probs_p = jax.nn.softmax(classifier_fn(pert), axis=-1)
+            d_base = modules.discriminate(params, base, probs_b)
+            d_pert = modules.discriminate(params, pert, probs_p)
+        else:
+            d_base = modules.discriminate(params, base)
+            d_pert = modules.discriminate(params, pert)
+        if bool(jnp.any(jnp.abs(d_base - d_pert) > change_threshold)):
+            return False
+    return True
+
+
+def find_significant_styles_filtered(
+    records: AttFindRecords,
+    num_indices: int,
+    class_index: int,
+    modules: Optional[StylExModules] = None,
+    params=None,
+    classifier_fn=None,
+    max_image_effect: float = 0.2,
+    discriminator_threshold: float = 0.2,
+    use_discriminator: bool = True,
+    sindex_offset: int = 0,
+) -> Tuple[List[Tuple[int, int]], List[int]]:
+    """Greedy top-k with discriminator rejection (cell 12).
+
+    Returns (picks, rejected_sindices). With ``use_discriminator=False``
+    this reduces to the plain greedy search.
+    """
+    effect4 = records.style_change
+    num_images, _, C, _ = effect4.shape
+    effect = np.maximum(0.0, effect4[:, :, :, class_index]).reshape(num_images, -1)
+    images_effect = np.zeros(num_images)
+    picks: List[int] = []
+    removed: List[int] = []
+    while len(picks) < num_indices:
+        active = images_effect < max_image_effect
+        if not np.any(active):
+            active = np.ones(num_images, bool)
+        next_s = int(np.argmax(np.mean(effect[active], axis=0)))
+        sindex = next_s % C
+        if use_discriminator and modules is not None:
+            if sindex == 0 and effect[:, next_s].max() == 0.0:
+                break
+            if not _discriminator_filter(
+                modules, params, classifier_fn, records, sindex, class_index,
+                change_threshold=discriminator_threshold,
+            ):
+                effect[:, next_s] = 0.0
+                removed.append(sindex)
+                continue
+        picks.append(next_s)
+        images_effect += effect[:, next_s]
+        effect[:, next_s] = 0.0
+    return [(s // C, (s % C) + sindex_offset) for s in picks], removed
+
+
+def create_counterfactual_dataset(
+    modules: StylExModules,
+    params,
+    classifier_fn,
+    records: AttFindRecords,
+    s_indices_and_signs: Sequence[Tuple[int, int]],
+    k: int,
+    shift_size: float = 1.0,
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Apply the top-k attribute shifts jointly to every image (cell 20).
+
+    Direction flips per image: a base-class-0 image moves styles the other
+    way, so every counterfactual crosses the decision boundary in the same
+    logical direction. All images generate in batches with a dense
+    ``style_delta`` matrix — no model mutation.
+
+    Returns (N, S, S, 3) counterfactual images in [0, 1].
+    """
+    picks = list(s_indices_and_signs)[:k]
+    N = records.latents.shape[0]
+    C = records.style_change.shape[2]
+    base_class = np.argmax(records.base_prob, axis=1)
+    flip = base_class == 0  # cell 20: argmax==0 -> flip
+
+    deltas = np.zeros((N, C), np.float32)
+    for direction, sindex in picks:
+        eff_dir = np.where(flip, 1 - direction, direction)
+        extreme = np.where(eff_dir == 0, records.minima[sindex], records.maxima[sindex])
+        deltas[:, sindex] += (extreme - records.style_coordinates[:, sindex]) * shift_size
+
+    noise = jnp.asarray(records.noise)
+    outs = []
+    for start in range(0, N, batch_size):
+        w = jnp.asarray(records.latents[start : start + batch_size])
+        w_styles = expand_styles(w, modules.num_layers)
+        noise_b = jnp.broadcast_to(noise, (w.shape[0],) + noise.shape[1:])
+        imgs, _ = modules.generate(
+            params, w_styles, noise_b, style_delta=jnp.asarray(deltas[start : start + batch_size])
+        )
+        outs.append(np.asarray(jnp.clip(imgs, 0.0, 1.0)))
+    return np.concatenate(outs)
+
+
+def fid_topk(
+    modules: StylExModules,
+    params,
+    classifier_fn,
+    records: AttFindRecords,
+    s_indices_and_signs: Sequence[Tuple[int, int]],
+    k: int = 10,
+    shift_size: float = 1.0,
+    batch_size: int = 32,
+    csv_path: Optional[str] = None,
+    feature_fn=None,
+) -> List[float]:
+    """FID(original, generated), then FID(original, counterfactual top-1..k)
+    (cells 24-26). Writes ``fid_results.csv`` when ``csv_path`` is given."""
+    originals = records.original_images
+
+    def batches(arr):
+        for start in range(0, arr.shape[0], batch_size):
+            yield arr[start : start + batch_size]
+
+    # base generated set: encoder round-trip latents, no shifts
+    generated = create_counterfactual_dataset(
+        modules, params, classifier_fn, records, [], 0, shift_size, batch_size
+    )
+    fids = [fid_from_image_batches(batches(originals), batches(generated), feature_fn)]
+    for i in range(k):
+        cf = create_counterfactual_dataset(
+            modules, params, classifier_fn, records, s_indices_and_signs, i + 1,
+            shift_size, batch_size,
+        )
+        fids.append(fid_from_image_batches(batches(originals), batches(cf), feature_fn))
+    if csv_path:
+        Path(csv_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["k", "fid"])
+            w.writerow(["generated", fids[0]])
+            for i, fid in enumerate(fids[1:], 1):
+                w.writerow([i, fid])
+    return fids

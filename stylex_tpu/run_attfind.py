@@ -1,0 +1,130 @@
+"""AttFind CLI — the ``run_attfind_combined.ipynb`` pipeline as a script.
+
+    python -m stylex_tpu.run_attfind --name my_model --data ./data/plants \\
+        --num-images 250 --num-indices 5 --results-folder ./attfind_out
+
+End to end: load a trained StylEx checkpoint + frozen classifier, encode the
+dataset, run the batched StyleSpace sweep, write
+``style_change_records.hdf5`` (reference-compatible schema), run the greedy
+per-class search, merge/score, print the top-k (direction, sindex) pairs
+(notebook cells 5-16) and optionally render per-style counterfactual panels
+(cells 17-23).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="StylEx AttFind attribute discovery")
+    p.add_argument("--name", default="default")
+    p.add_argument("--base-dir", default="./")
+    p.add_argument("--models-dir", default="models")
+    p.add_argument("--load-from", type=int, default=-1)
+    p.add_argument("--data", default="./data")
+    p.add_argument("--dataset-name", default=None)
+    p.add_argument("--classifier-name", default="resnet")
+    p.add_argument("--classifier-path", default=None)
+    p.add_argument("--num-images", type=int, default=250)
+    p.add_argument("--num-indices", type=int, default=5)
+    p.add_argument("--shift-size", type=float, default=1.0)
+    p.add_argument("--effect-threshold", type=float, default=0.5)
+    p.add_argument("--discriminator-threshold", type=float, default=None)
+    p.add_argument("--use-discriminator", action="store_true")
+    p.add_argument("--coord-batch", type=int, default=512)
+    p.add_argument("--results-folder", default="./attfind_results")
+    p.add_argument("--visualize-top", type=int, default=0,
+                   help="render counterfactual panels for the top-N styles")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from stylex_tpu.attfind import (
+        attfind_extraction,
+        find_significant_styles,
+        merge_and_score,
+        save_records_hdf5,
+        split_by_class,
+        visualize_style,
+    )
+    from stylex_tpu.data.dataset import FolderDataset
+    from stylex_tpu.data.mnist import SyntheticImageDataset
+    from stylex_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        name=args.name,
+        base_dir=args.base_dir,
+        models_dir=args.models_dir,
+        classifier_name=args.classifier_name,
+        classifier_path=args.classifier_path,
+    )
+    trainer.load(args.load_from)
+    modules, params = trainer.modules, trainer.full_params
+    cfg = trainer.model_cfg
+    clf_fn = trainer.classifier.classify_images
+
+    if args.dataset_name == "synthetic":
+        ds = SyntheticImageDataset(args.num_images, cfg.image_size)
+    else:
+        ds = FolderDataset(args.data, cfg.image_size)
+    n = min(args.num_images, len(ds))
+    images = np.stack([ds[i] for i in range(n)])
+
+    # the fixed noise image shared by every forward (notebook cell 7)
+    noise = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(args.seed), (1, cfg.image_size, cfg.image_size, 1))
+    )
+
+    records = attfind_extraction(
+        modules, params, clf_fn, images, noise,
+        shift_size=args.shift_size,
+        discriminator_threshold=args.discriminator_threshold,
+        use_discriminator=args.use_discriminator,
+        coord_batch=args.coord_batch,
+        mesh=trainer.mesh if len(trainer.mesh.devices.flat) > 1 else None,
+    )
+
+    out = Path(args.results_folder)
+    out.mkdir(parents=True, exist_ok=True)
+    save_records_hdf5(records, str(out / "style_change_records.hdf5"))
+
+    effects_cls, w_cls, dist_cls, coords_cls = split_by_class(
+        records.style_change, records.latents, records.base_prob,
+        records.style_coordinates, records.minima, records.maxima,
+        num_classes=cfg.num_classes,
+    )
+    per_class = {}
+    for class_index in range(cfg.num_classes):
+        per_class[class_index] = find_significant_styles(
+            effects_cls[class_index], args.num_indices, class_index,
+            max_image_effect=args.effect_threshold * 5,
+        )
+    ranked = merge_and_score(records.style_change, per_class, args.num_indices)
+
+    print("Directions and style indices for moving from class 1 to class 0 =",
+          ranked[: args.num_indices])
+    print("Use the other direction to move from class 0 to 1.")
+    (out / "top_styles.json").write_text(json.dumps(
+        {"ranked": ranked, "per_class": {str(k): v for k, v in per_class.items()}}
+    ))
+
+    for direction, sindex in ranked[: args.visualize_top]:
+        panel = visualize_style(
+            modules, params, clf_fn, records, sindex, direction,
+            shift_size=args.shift_size, effect_threshold=0.1, min_images=1,
+        )
+        if panel is not None:
+            from PIL import Image
+
+            Image.fromarray(panel).save(out / f"style_{direction}_{sindex}.png")
+
+
+if __name__ == "__main__":
+    main()
