@@ -1,0 +1,26 @@
+"""Pallas kernel parity tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stylex_tpu.ops.blur import blur3
+from stylex_tpu.ops.pallas_blur import blur3_downsample2x_pallas, blur3_pallas
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 4), (1, 16, 16, 130), (3, 32, 8, 8)])
+def test_blur3_pallas_matches_xla(shape):
+    x = jnp.asarray(np.random.RandomState(0).randn(*shape).astype(np.float32))
+    want = np.asarray(blur3(x))
+    got = np.asarray(blur3_pallas(x, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 4), (1, 16, 16, 130)])
+def test_blur3_downsample_pallas_matches_xla(shape):
+    x = jnp.asarray(np.random.RandomState(1).randn(*shape).astype(np.float32))
+    want = np.asarray(blur3(x))[:, ::2, ::2, :]
+    got = np.asarray(blur3_downsample2x_pallas(x, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
