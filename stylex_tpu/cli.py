@@ -122,6 +122,8 @@ def train_from_folder(
         num_classes=num_classes,
         arch=Arch.OLD if use_old_architecture else Arch.NEW,
         encoder_class=encoder_class,
+        fq_layers=tuple(cast_list(fq_layers)),
+        fq_dict_size=fq_dict_size,
     )
     train_cfg = TrainConfig(
         batch_size=batch_size,
@@ -137,6 +139,10 @@ def train_from_folder(
         sample_from_encoder=sample_from_encoder,
         dual_contrast_loss=dual_contrast_loss,
         rel_disc_loss=rel_disc_loss,
+        cl_reg=cl_reg,
+        top_k_training=top_k_training,
+        generator_top_k_gamma=generator_top_k_gamma,
+        generator_top_k_frac=generator_top_k_frac,
         aug_prob=aug_prob,
         aug_types=tuple(cast_list(aug_types)),
         dataset_aug_prob=dataset_aug_prob,

@@ -48,6 +48,8 @@ class ModelConfig:
     encoder_dim: int = 512
     arch: Arch = Arch.OLD
     encoder_class: Optional[str] = None  # debug encoder registry name
+    fq_layers: Tuple[int, ...] = ()  # D feature-quantization layers
+    fq_dict_size: int = 256
 
     @property
     def mapping_dim(self) -> int:
@@ -59,6 +61,7 @@ class ModelConfig:
         d = dataclasses.asdict(self)
         d["arch"] = self.arch.value
         d["attn_layers"] = list(self.attn_layers)
+        d["fq_layers"] = list(self.fq_layers)
         return json.dumps(d)
 
     @classmethod
@@ -66,6 +69,7 @@ class ModelConfig:
         d = json.loads(s)
         d["arch"] = Arch(d.get("arch", "old"))
         d["attn_layers"] = tuple(d.get("attn_layers", ()))
+        d["fq_layers"] = tuple(d.get("fq_layers", ()))
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 
@@ -89,6 +93,10 @@ class TrainConfig:
     sample_from_encoder: bool = True
     dual_contrast_loss: bool = False
     rel_disc_loss: bool = False
+    cl_reg: bool = False  # contrastive D regularisation (`stylex_train.py:943-947`)
+    top_k_training: bool = False
+    generator_top_k_gamma: float = 0.99
+    generator_top_k_frac: float = 0.5
     aug_prob: Optional[float] = None  # auto-set from dataset size when None
     aug_types: Tuple[str, ...] = ("translation", "cutout")
     dataset_aug_prob: float = 0.0

@@ -71,9 +71,39 @@ class DiscriminatorE(nn.Module):
     encoder_dim: int = 512
     num_classes: int = 2
     fmap_max: int = 512
+    # optional feature-quantization layers (`fq_layers`/`fq_dict_size`,
+    # `stylex_train.py:867-871`); commitment losses are sown under
+    # intermediates/quantize_loss (the reference silently drops them —
+    # see stylex_tpu.ops.vq).
+    fq_layers: Sequence[int] = ()
+    fq_dict_size: int = 256
+
+    def _quantize(self, x, out_chan: int, ind: int):
+        from stylex_tpu.ops.vq import VQState, vector_quantize
+
+        book = self.variable(
+            "vq",
+            f"codebook{ind}",
+            lambda: jax.random.normal(
+                jax.random.PRNGKey(ind), (self.fq_dict_size, out_chan)
+            ),
+        )
+        cluster = self.variable("vq", f"cluster{ind}", lambda: jnp.zeros((self.fq_dict_size,)))
+        avg = self.variable("vq", f"avg{ind}", lambda: jnp.array(book.value))
+        state = VQState(book.value, cluster.value, avg.value)
+        quantized, _, loss, new_state = vector_quantize(
+            state, x, update=not self.is_initializing()
+        )
+        self.sow("intermediates", "quantize_loss", loss)
+        if not self.is_initializing() and self.is_mutable_collection("vq"):
+            book.value = new_state.codebook
+            cluster.value = new_state.cluster_size
+            avg.value = new_state.embed_avg
+        return quantized
 
     @nn.compact
-    def __call__(self, x, probabilities: Optional[jax.Array] = None):
+    def __call__(self, x, probabilities: Optional[jax.Array] = None,
+                 return_features: bool = False):
         """Run the trunk.
 
         Args:
@@ -81,10 +111,13 @@ class DiscriminatorE(nn.Module):
           probabilities: (B, num_classes) class probabilities — required for
             ``mode='cond_disc'`` (projection conditioning,
             `stylex_train_new.py:912-914`), ignored otherwise.
+          return_features: return the flattened trunk features instead of
+            head outputs (the contrastive regulariser's 'flatten' hook,
+            `stylex_train.py:951`).
 
         Returns:
           (B,) critic scores for 'disc'/'cond_disc', (B, encoder_dim) for
-          'encoder'.
+          'encoder', or (B, 2*2*chan_last) features.
         """
         filters = discriminator_filters(self.image_size, self.network_capacity, self.fmap_max)
         chan_in_out = list(zip(filters[:-1], filters[1:]))
@@ -94,11 +127,15 @@ class DiscriminatorE(nn.Module):
             x = DiscriminatorBlock(out_chan, downsample=is_not_last, name=f"block{ind}")(x)
             if (ind + 1) in self.attn_layers:
                 x = AttnAndFF(out_chan, name=f"attn{ind}")(x)
+            if (ind + 1) in self.fq_layers:
+                x = self._quantize(x, out_chan, ind)
 
         chan_last = filters[-1]
         x = ConvTorch(chan_last, 3, padding=1, name="final_conv")(x)
         x = x.reshape(x.shape[0], -1)  # (B, 2*2*chan_last)
 
+        if return_features:
+            return x
         if self.mode == "encoder":
             return DenseTorch(self.encoder_dim, name="fc")(x)
         if self.mode == "cond_disc":

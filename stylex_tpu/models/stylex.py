@@ -65,9 +65,12 @@ class StylExModules:
         )
 
     def discriminate(self, params, images, probabilities=None):
+        variables = {"params": params["D"]}
+        if "D_vq" in params:
+            variables["vq"] = params["D_vq"]
         if self.cfg.arch == Arch.NEW:
-            return self.D.apply({"params": params["D"]}, images, probabilities)
-        return self.D.apply({"params": params["D"]}, images)
+            return self.D.apply(variables, images, probabilities)
+        return self.D.apply(variables, images)
 
 
 def build_stylex(cfg: ModelConfig) -> StylExModules:
@@ -102,6 +105,8 @@ def build_stylex(cfg: ModelConfig) -> StylExModules:
         mode="cond_disc" if cfg.arch == Arch.NEW else "disc",
         num_classes=cfg.num_classes,
         fmap_max=cfg.fmap_max,
+        fq_layers=tuple(cfg.fq_layers),
+        fq_dict_size=cfg.fq_dict_size,
     )
     return StylExModules(cfg=cfg, encoder=encoder, S=S, G=G, D=D)
 
@@ -120,18 +125,21 @@ def init_stylex_params(key: jax.Array, modules: StylExModules) -> Params:
     s_params = modules.S.init(k_s, z)["params"]
     g_params = modules.G.init(k_g, w, noise)["params"]
     if cfg.arch == Arch.NEW:
-        d_params = modules.D.init(k_d, img, jnp.zeros((1, cfg.num_classes)))["params"]
+        d_vars = modules.D.init(k_d, img, jnp.zeros((1, cfg.num_classes)))
     else:
-        d_params = modules.D.init(k_d, img)["params"]
+        d_vars = modules.D.init(k_d, img)
 
-    return {
+    out = {
         "encoder": enc_params,
         "S": s_params,
         "G": g_params,
-        "D": d_params,
+        "D": d_vars["params"],
         "SE": jax.tree.map(jnp.copy, s_params),
         "GE": jax.tree.map(jnp.copy, g_params),
     }
+    if "vq" in d_vars:
+        out["D_vq"] = d_vars["vq"]
+    return out
 
 
 def make_w(cfg: ModelConfig, encoder_output: jax.Array, classifier_logits: jax.Array) -> jax.Array:

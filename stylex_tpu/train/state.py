@@ -63,7 +63,8 @@ def create_train_state(
     from stylex_tpu.models.stylex import init_stylex_params
 
     all_params = init_stylex_params(key, modules)
-    params = {k: all_params[k] for k in ("encoder", "S", "G", "D")}
+    keys = ["encoder", "S", "G", "D"] + (["D_vq"] if "D_vq" in all_params else [])
+    params = {k: all_params[k] for k in keys}
     ema_params = {k: all_params[k] for k in ("SE", "GE")}
     g_tx, d_tx = make_optimizers(model_cfg, train_cfg)
     g_opt_state = g_tx.init({k: params[k] for k in ("encoder", "S", "G")})

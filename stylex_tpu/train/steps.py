@@ -156,11 +156,11 @@ def make_train_step(
         return modules.discriminate(params, aug, probs)
 
     # ------------------------------------------------------------- D phase
-    def d_phase(params: Params, rng: jax.Array, d_real, d_enc, apply_gp):
+    def d_phase(params: Params, rng: jax.Array, d_real, d_enc, apply_gp, apply_cl_gen):
         def micro(carry, xs):
             d_grads, gside_grads, div_acc, gp_acc, rng = carry
             real_img, enc_img, is_enc = xs
-            rng, k_prior, k_noise, k_augf, k_augr = jax.random.split(rng, 5)
+            rng, k_prior, k_noise, k_augf, k_augr, k_cl = jax.random.split(rng, 6)
             batch = real_img.shape[0]
 
             if cfg.arch == Arch.NEW:
@@ -200,7 +200,23 @@ def make_train_step(
                     lambda: gradient_penalty(real_fn, real_img),
                     lambda: jnp.zeros((), div.dtype),
                 )
-                return (div + gp) / accum, (div, gp)
+                extra = jnp.zeros((), div.dtype)
+                if tc.cl_reg:
+                    # SimCLR regularisation on D trunk features; generated
+                    # images join after 20k steps (`stylex_train.py:1274`).
+                    from stylex_tpu.losses.contrastive import contrastive_d_loss
+
+                    feats = lambda im: modules.D.apply(
+                        {"params": dp}, im, return_features=True
+                    )
+                    cl = contrastive_d_loss(feats, k_cl, real_img)
+                    cl_gen = lax.cond(
+                        apply_cl_gen,
+                        lambda: contrastive_d_loss(feats, k_cl, fake),
+                        lambda: jnp.zeros(()),
+                    )
+                    extra = cl + cl_gen
+                return (div + gp + extra) / accum, (div, gp)
 
             (_, (div, gp)), grads = jax.value_and_grad(d_loss, has_aux=True)(params["D"])
             d_grads = _tree_add(d_grads, grads)
@@ -336,9 +352,10 @@ def make_train_step(
         top_k = batch.get("top_k", jnp.asarray(batch["g_imgs"].shape[1], jnp.int32))
         g_real = batch.get("g_real", batch["g_imgs"])
 
+        apply_cl_gen = step > 20_000
         rng_d, rng_g = jax.random.split(rng)
         d_grads, gside_from_d, d_div, gp, _ = d_phase(
-            params, rng_d, batch["d_real"], batch["d_enc"], apply_gp
+            params, rng_d, batch["d_real"], batch["d_enc"], apply_gp, apply_cl_gen
         )
 
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, params["D"])

@@ -214,8 +214,16 @@ class Trainer:
             "You must first initialize the data source with `.set_data_src(<folder of images>)`"
         )
         self.init_stylex()
+        tc0 = self.train_cfg
         batch = next(self.loader)
         batch = shard_batch(self.mesh, batch, batch_axis=1)
+        if tc0.top_k_training:
+            # generator top-k schedule (`stylex_train.py:1399-1405`)
+            epochs = (self.steps * tc0.batch_size * tc0.gradient_accumulate_every) / max(
+                len(self.dataset), 1
+            )
+            k_frac = max(tc0.generator_top_k_gamma**epochs, tc0.generator_top_k_frac)
+            batch["top_k"] = jnp.asarray(math.ceil(tc0.batch_size * k_frac), jnp.int32)
         self.rng, step_key = jax.random.split(self.rng)
         self.state, metrics = self._step_fn(self.state, batch, step_key)
         metrics = {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,61 @@
+"""VQ, fq-layer discriminator, and contrastive-regulariser tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stylex_tpu.losses.contrastive import contrastive_d_loss, nt_xent_loss
+from stylex_tpu.models.discriminator import DiscriminatorE
+from stylex_tpu.ops.vq import init_vq_state, vector_quantize
+
+
+def test_vector_quantize_basics():
+    state = init_vq_state(jax.random.PRNGKey(0), dim=8, n_codes=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2, 8))
+    q, idx, loss, new_state = vector_quantize(state, x)
+    assert q.shape == x.shape
+    assert idx.shape == (4, 2, 2)
+    assert float(loss) > 0
+    # straight-through: gradient of sum(q) wrt x is ones
+    g = jax.grad(lambda xx: jnp.sum(vector_quantize(state, xx)[0]))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+    # EMA update moved the codebook toward the data
+    assert not np.allclose(np.asarray(new_state.codebook), np.asarray(state.codebook))
+    # repeated quantization against updated codebook shrinks the loss
+    for _ in range(20):
+        _, _, loss2, new_state = vector_quantize(new_state, x)
+    assert float(loss2) < float(loss)
+
+
+def test_discriminator_with_fq_layers():
+    D = DiscriminatorE(16, network_capacity=4, fq_layers=(2,), fq_dict_size=32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    variables = D.init(jax.random.PRNGKey(1), x)
+    assert "vq" in variables
+    out, updates = D.apply(variables, x, mutable=["vq", "intermediates"])
+    assert out.shape == (2,)
+    q_losses = jax.tree.leaves(updates["intermediates"])
+    assert len(q_losses) == 1 and float(q_losses[0]) >= 0
+    # EMA codebook moved
+    before = jax.tree.leaves(variables["vq"])[0]
+    after = jax.tree.leaves(updates["vq"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_nt_xent_prefers_aligned_views():
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    aligned = float(nt_xent_loss(h, h + 0.01 * rng.randn(8, 16).astype(np.float32)))
+    shuffled = float(nt_xent_loss(h, jnp.asarray(rng.randn(8, 16).astype(np.float32))))
+    assert aligned < shuffled
+
+
+def test_contrastive_d_loss_runs():
+    D = DiscriminatorE(16, network_capacity=4)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    variables = D.init(jax.random.PRNGKey(1), x)
+    feats = lambda im: D.apply(variables, im, return_features=True)
+    loss = contrastive_d_loss(feats, jax.random.PRNGKey(2), x)
+    assert np.isfinite(float(loss))
