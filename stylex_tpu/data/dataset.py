@@ -96,21 +96,44 @@ def _random_resized_crop(img, size: int, rng: pyrandom.Random,
     return _center_crop(_resize_short_side(img, size), size)
 
 
+def _short_side_dims(w: int, h: int, size: int):
+    if w < h:
+        return size, max(1, round(h * size / w))
+    return max(1, round(w * size / h)), size
+
+
 def load_and_transform(
     path, image_size: int, transparent: bool = False, aug_prob: float = 0.0,
-    rng: Optional[pyrandom.Random] = None,
+    rng: Optional[pyrandom.Random] = None, out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Decode one image to (image_size, image_size, C) float32 in [0,1]."""
+    """Decode one image to (image_size, image_size, C) float32 in [0,1].
+
+    The post-decode resize/crop/normalise runs through the fused C++
+    pipeline (:mod:`stylex_tpu.native`) when built — one pass, writing
+    directly into ``out`` (a batch row) with no intermediates; the PIL path
+    is the fallback and the augmentation (RandomResizedCrop) branch.
+    """
     from PIL import Image
 
     rng = rng or pyrandom
     img = Image.open(path)
     img = img.convert("RGBA" if transparent else "RGB")
+    use_aug = aug_prob > 0 and rng.random() < aug_prob
+
+    if not use_aug:
+        from stylex_tpu import native
+
+        if native.available():
+            nw, nh = _short_side_dims(*img.size, image_size)
+            return native.resize_crop_normalize(
+                np.asarray(img), (nh, nw), (image_size, image_size), out=out
+            )
+
     # resize_to_minimum_size (`stylex_train.py:480-483`)
     if max(img.size) < image_size:
         img = _resize_short_side(img, image_size)
     img = _resize_short_side(img, image_size)
-    if aug_prob > 0 and rng.random() < aug_prob:
+    if use_aug:
         img = _random_resized_crop(img, image_size, rng)
     else:
         img = _center_crop(img, image_size)

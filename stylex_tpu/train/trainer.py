@@ -120,6 +120,9 @@ class Trainer:
         self.logger = MetricLogger(
             tensorboard_dir, name, csv_path=str(self.results_dir / name / "metrics.csv")
         )
+        from stylex_tpu.utils.profiling import StepTimer
+
+        self.step_timer = StepTimer()
         self.init_folders()
 
     # ------------------------------------------------------------------ setup
@@ -225,8 +228,12 @@ class Trainer:
             k_frac = max(tc0.generator_top_k_gamma**epochs, tc0.generator_top_k_frac)
             batch["top_k"] = jnp.asarray(math.ceil(tc0.batch_size * k_frac), jnp.int32)
         self.rng, step_key = jax.random.split(self.rng)
-        self.state, metrics = self._step_fn(self.state, batch, step_key)
-        metrics = {k: float(v) for k, v in metrics.items()}
+        with self.step_timer:
+            self.state, metrics = self._step_fn(self.state, batch, step_key)
+            metrics = {k: float(v) for k, v in metrics.items()}
+        metrics.update(self.step_timer.stats(
+            images_per_step=tc0.batch_size * tc0.gradient_accumulate_every
+        ))
 
         step = self.steps - 1  # metrics belong to the step just executed
         if not all(np.isfinite(v) for v in (metrics["g_loss"], metrics["d_loss"])):
@@ -253,10 +260,21 @@ class Trainer:
         self.av = None
         return metrics
 
+    @property
+    def hparams(self):
+        return {
+            "image_size": self.model_cfg.image_size,
+            "network_capacity": self.model_cfg.network_capacity,
+        }
+
     # ----------------------------------------------------------- persistence
     def save(self, num: int) -> str:
+        from stylex_tpu.version import __version__
+
         self.write_config()
-        return save_checkpoint(str(self.models_dir), self.name, num, self.state)
+        return save_checkpoint(
+            str(self.models_dir), self.name, num, self.state, extra={"version": __version__}
+        )
 
     def load(self, num: int = -1) -> None:
         self.load_config()
