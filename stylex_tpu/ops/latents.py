@@ -22,7 +22,21 @@ __all__ = [
     "truncate_w",
     "slerp",
     "lpips_normalize",
+    "evaluate_in_chunks",
 ]
+
+
+def evaluate_in_chunks(max_batch_size: int, fn, *args):
+    """Apply ``fn`` over chunks of the batch axis and concatenate
+    (`evaluate_in_chunks`, `stylex_train.py:344-350`) — host-side batching
+    for memory-bound eval sweeps."""
+    n = args[0].shape[0]
+    outs = []
+    for start in range(0, n, max_batch_size):
+        outs.append(fn(*[a[start : start + max_batch_size] for a in args]))
+    if len(outs) == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=0)
 
 
 def latent_noise(key: jax.Array, n: int, latent_dim: int, dtype=jnp.float32) -> jax.Array:

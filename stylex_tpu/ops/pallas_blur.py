@@ -79,8 +79,10 @@ def _make_blur_kernel(tile_h: int, w: int, w_pad: int, c_tile: int, down: bool):
 def _blur_call(x: jax.Array, down: bool, interpret: bool) -> jax.Array:
     b, h, w, c = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    # Mosaic DMA slices must be 8-aligned along the sublane (W) dim.
-    w_pad = -(-(w + 2) // 8) * 8
+    # Mosaic DMA slices must be sublane-aligned along the W dim
+    # (8 for 4-byte, 16 for 2-byte, 32 for 1-byte dtypes).
+    sublane = {4: 8, 2: 16, 1: 32}.get(jnp.dtype(x.dtype).itemsize, 8)
+    w_pad = -(-(w + 2) // sublane) * sublane
     if w_pad != w + 2:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, w_pad - (w + 2)), (0, 0)))
     out_h = h // 2 if down else h
