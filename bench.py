@@ -24,6 +24,8 @@ BASELINE_STYLES_PER_SEC = 68.0
 
 
 def main() -> None:
+    import os
+
     from stylex_tpu.config import ModelConfig
     from stylex_tpu.models import build_stylex, init_stylex_params
     from stylex_tpu.models.classifiers import build_classifier
@@ -38,13 +40,24 @@ def main() -> None:
     coord_batch = 616  # divides 2*2464 = 4928 into 8 chunks
     num_images = 4
 
+    # TPU-native precision: the sweep runs in bf16 (set STYLEX_BENCH_F32=1
+    # to measure the fp32 path instead).
+    dtype = jnp.float32 if os.environ.get("STYLEX_BENCH_F32") else jnp.bfloat16
+    p = jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+    clf_vars = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, clf.variables
+    )
+    clf.variables = clf_vars
+
     @jax.jit
     def sweep(w, noise, deltas, base_logits):
         n = deltas.shape[0]
         w_styles = expand_styles(jnp.broadcast_to(w, (n, w.shape[-1])), modules.num_layers)
         noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
-        gen, _ = modules.generate(params, w_styles, noise_b, style_delta=deltas)
-        return clf.classify_images(gen) - base_logits
+        gen, _ = modules.generate(
+            p, w_styles.astype(dtype), noise_b.astype(dtype), style_delta=deltas.astype(dtype)
+        )
+        return clf.classify_images(gen).astype(jnp.float32) - base_logits
 
     key = jax.random.PRNGKey(1)
     w = jax.random.normal(key, (cfg.latent_dim,))
