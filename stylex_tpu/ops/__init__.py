@@ -9,6 +9,7 @@ from stylex_tpu.ops.latents import (
     truncate_w,
     slerp,
     lpips_normalize,
+    evaluate_in_chunks,
 )
 from stylex_tpu.ops.diffaug import (
     diff_augment,
@@ -32,6 +33,7 @@ __all__ = [
     "truncate_w",
     "slerp",
     "lpips_normalize",
+    "evaluate_in_chunks",
     "diff_augment",
     "random_hflip",
     "augment_for_discriminator",

@@ -78,6 +78,9 @@ class Trainer:
         tensorboard_dir: Optional[str] = None,
         seed: int = 42,
     ):
+        from stylex_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.name = name
         base = Path(base_dir)
         self.base_dir = base

@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache.
+
+The StylEx train step is a large program (two scan phases, second-order
+path-length branch); cold compiles are expensive — especially through
+remote-compile tunnels. Enabling JAX's persistent cache makes every process
+after the first start instantly. Opt-out with STYLEX_TPU_NO_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+__all__ = ["enable_persistent_cache"]
+
+_DEFAULT = os.path.expanduser("~/.cache/stylex_tpu_xla")
+
+
+def enable_persistent_cache(path: str | None = None) -> bool:
+    if os.environ.get("STYLEX_TPU_NO_CACHE"):
+        return False
+    try:
+        os.makedirs(path or _DEFAULT, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path or _DEFAULT)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:
+        return False
