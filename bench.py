@@ -50,12 +50,15 @@ def main() -> None:
     clf.variables = clf_vars
 
     @jax.jit
-    def sweep(w, noise, deltas, base_logits):
-        n = deltas.shape[0]
+    def sweep(w, noise, coord_idx, shift, base_logits):
+        # one-hot deltas built on device from (index, shift) pairs — the
+        # same scheme attfind_extraction uses (KBs to the device, not MBs)
+        n = coord_idx.shape[0]
+        deltas = jax.nn.one_hot(coord_idx, C, dtype=dtype) * shift[:, None].astype(dtype)
         w_styles = expand_styles(jnp.broadcast_to(w, (n, w.shape[-1])), modules.num_layers)
         noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
         gen, _ = modules.generate(
-            p, w_styles.astype(dtype), noise_b.astype(dtype), style_delta=deltas.astype(dtype)
+            p, w_styles.astype(dtype), noise_b.astype(dtype), style_delta=deltas
         )
         return clf.classify_images(gen).astype(jnp.float32) - base_logits
 
@@ -63,20 +66,22 @@ def main() -> None:
     w = jax.random.normal(key, (cfg.latent_dim,))
     noise = jax.random.uniform(key, (1, cfg.image_size, cfg.image_size, 1))
     base_logits = jnp.zeros((cfg.num_classes,))
-    eye = np.eye(C, dtype=np.float32)
-    deltas_full = np.concatenate([eye * 0.5, eye * -0.5])  # (2C, C)
+    coord_ids = np.tile(np.arange(C, dtype=np.int32), 2)
+    shifts = np.concatenate([np.full(C, 0.5, np.float32), np.full(C, -0.5, np.float32)])
 
     # warmup/compile
-    out = sweep(w, noise, jnp.asarray(deltas_full[:coord_batch]), base_logits)
+    out = sweep(w, noise, jnp.asarray(coord_ids[:coord_batch]),
+                jnp.asarray(shifts[:coord_batch]), base_logits)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     total = 0
     for _ in range(num_images):
-        for start in range(0, deltas_full.shape[0], coord_batch):
-            chunk = jnp.asarray(deltas_full[start : start + coord_batch])
-            out = sweep(w, noise, chunk, base_logits)
-            total += chunk.shape[0]
+        for start in range(0, 2 * C, coord_batch):
+            ids = jnp.asarray(coord_ids[start : start + coord_batch])
+            sh = jnp.asarray(shifts[start : start + coord_batch])
+            out = sweep(w, noise, ids, sh, base_logits)
+            total += ids.shape[0]
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -68,12 +68,18 @@ def _phase1(modules, params, classifier_fn, cfg, images, noise):
     return w, coords, d_out, base_logits
 
 
-def _make_sweep_fn(modules, params, classifier_fn, cfg, chunk: int, mesh=None):
-    """One jitted perturbation chunk: (chunk, C) deltas -> (chunk, classes)
-    logit changes."""
+def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int, mesh=None):
+    """One jitted perturbation chunk.
 
-    def sweep(w, noise, deltas, base_logits):
-        n = deltas.shape[0]
+    Inputs are (coordinate index, shift magnitude) pairs — the dense one-hot
+    delta matrix is built *on device* (a (chunk, C) one-hot is trivial VPU
+    work), so the host ships a few KB per launch instead of a multi-MB
+    matrix through PCIe/tunnel per chunk.
+    """
+
+    def sweep(w, noise, coord_idx, shift, base_logits):
+        n = coord_idx.shape[0]
+        deltas = jax.nn.one_hot(coord_idx, num_coords, dtype=w.dtype) * shift[:, None]
         w_styles = expand_styles(jnp.broadcast_to(w, (n, w.shape[-1])), modules.num_layers)
         noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
         gen, _ = modules.generate(params, w_styles, noise_b, style_delta=deltas)
@@ -86,7 +92,8 @@ def _make_sweep_fn(modules, params, classifier_fn, cfg, chunk: int, mesh=None):
             in_shardings=(
                 replicated(mesh),
                 replicated(mesh),
-                coordinate_sharding(mesh, ndim=2),
+                coordinate_sharding(mesh, ndim=1),
+                coordinate_sharding(mesh, ndim=1),
                 replicated(mesh),
             ),
             out_shardings=coordinate_sharding(mesh, ndim=2),
@@ -159,9 +166,9 @@ def attfind_extraction(
     maxima = coords_all.max(axis=0)
 
     # ---- phase 2: batched perturbation sweep ------------------------------
-    sweep = _make_sweep_fn(modules, params, classifier_fn, cfg, coord_batch, mesh)
-    eye = np.eye(C, dtype=np.float32)
+    sweep = _make_sweep_fn(modules, params, classifier_fn, cfg, C, mesh)
     style_change = np.zeros((N, 2, C, 2), np.float32)
+    coord_ids = np.tile(np.arange(C, dtype=np.int32), 2)  # (2C,): both dirs
 
     iterator = range(N)
     if progress:
@@ -175,19 +182,23 @@ def attfind_extraction(
     for i in iterator:
         w_i = jnp.asarray(w_all[i])
         base_i = jnp.asarray(logits_all[i])
-        # shift magnitudes for both directions: (2, C)
-        shifts = np.stack(
+        # shift magnitudes, both directions flattened: (2C,)
+        shifts = np.concatenate(
             [(minima - coords_all[i]) * shift_size, (maxima - coords_all[i]) * shift_size]
-        )
-        # full perturbation matrix (2*C, C): one-hot rows scaled per direction
-        deltas = np.concatenate([eye * shifts[0][:, None], eye * shifts[1][:, None]])
-        P = deltas.shape[0]
+        ).astype(np.float32)
+        P = 2 * C
         pad = (-P) % coord_batch
-        if pad:
-            deltas = np.concatenate([deltas, np.zeros((pad, C), np.float32)])
+        ids = np.concatenate([coord_ids, np.zeros(pad, np.int32)]) if pad else coord_ids
+        sh = np.concatenate([shifts, np.zeros(pad, np.float32)]) if pad else shifts
         effects = []
-        for start in range(0, deltas.shape[0], coord_batch):
-            out = sweep(w_i, noise_j, jnp.asarray(deltas[start : start + coord_batch]), base_i)
+        for start in range(0, P + pad, coord_batch):
+            out = sweep(
+                w_i,
+                noise_j,
+                jnp.asarray(ids[start : start + coord_batch]),
+                jnp.asarray(sh[start : start + coord_batch]),
+                base_i,
+            )
             effects.append(np.asarray(out))
         eff = np.concatenate(effects)[:P].reshape(2, C, -1)
         style_change[i] = eff

@@ -203,14 +203,21 @@ class ClassifierBundle:
 
     def classify_images(self, images: jax.Array) -> jax.Array:
         """(B, H, W, 3) in [0,1] -> (B, num_classes) logits."""
+        b, h, w, c = images.shape
         if self.kind == "resnet":
             # bilinear resize to 224 (`resnet_classifier.py:61`)
-            b, _, _, c = images.shape
-            x = jax.image.resize(images, (b, 224, 224, c), method="bilinear")
+            x = images
+            if (h, w) != (224, 224):
+                x = jax.image.resize(images, (b, 224, 224, c), method="bilinear")
         else:
-            # nearest interpolate to image_size (`mobilenet_classifier.py:62`)
-            b, _, _, c = images.shape
-            x = jax.image.resize(images, (b, self.image_size, self.image_size, c), method="nearest")
+            # nearest interpolate to image_size (`mobilenet_classifier.py:62`);
+            # identity resizes are skipped — XLA lowers same-size nearest
+            # resize as a gather, which is pure overhead.
+            x = images
+            if (h, w) != (self.image_size, self.image_size):
+                x = jax.image.resize(
+                    images, (b, self.image_size, self.image_size, c), method="nearest"
+                )
         if self.normalize:
             x = imagenet_normalize(x)
         return self.apply_fn(self.variables, x)

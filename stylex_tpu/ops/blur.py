@@ -57,10 +57,13 @@ def blur3(x: jax.Array) -> jax.Array:
       x: (batch, H, W, C) feature map.
     """
     # Lane-dim DMA slices must cover whole 128-lane tiles; narrower channel
-    # counts (e.g. the 3-channel RGB skip) stay on the XLA path.
+    # counts (e.g. the 3-channel RGB skip) stay on the XLA path. bf16 is
+    # excluded: Mosaic compilation of this kernel pathologically stalls for
+    # 2-byte dtypes on v5e (XLA's bf16 lowering is fast enough there).
     if (
         jax.default_backend() == "tpu"
         and x.shape[-1] % 128 == 0
+        and x.dtype == jnp.float32
         and not os.environ.get("STYLEX_TPU_NO_PALLAS")
     ):
         from stylex_tpu.ops.pallas_blur import blur3_pallas
