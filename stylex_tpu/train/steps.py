@@ -130,6 +130,22 @@ def make_train_step(
     def cast(x):
         return x.astype(compute_dtype) if compute_dtype != jnp.float32 else x
 
+    if compute_dtype != jnp.float32:
+        # Mixed precision, TPU-native (replaces apex O1, `stylex_train.py:
+        # 968-972`): fp32 master params, bf16 forward compute. Casting sits
+        # inside the loss closures so cotangents flow back to fp32 grads;
+        # the frozen classifier keeps fp32 weights (bf16 activations promote
+        # up), preserving KL-logit fidelity.
+        def cast_tree(t):
+            return jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+    else:
+        cast_tree = lambda t: t
+
     # ---------------------------------------------------------------- utils
     def sample_prior_w(params: Params, key: jax.Array, batch: int, probs: jax.Array):
         """Style-mixed prior w tensor (`mixed_list`/`noise_list`/`latent_to_w`,
@@ -182,13 +198,13 @@ def make_train_step(
 
             w_styles = lax.cond(is_enc, enc_branch, prior_branch, None)
             noise = image_noise(k_noise, batch, B_noise_size)
-            fake, _ = modules.generate(params, w_styles, noise)
+            fake, _ = modules.generate(cast_tree(params), cast(w_styles), cast(noise))
             fake = lax.stop_gradient(fake)
 
             def d_loss(dp):
-                p = {**params, "D": dp}
-                fake_scores = d_score(p, cast(fake), probs, k_augf)
-                real_fn = lambda im: d_score(p, cast(im), probs, k_augr)
+                p = {**cast_tree(params), "D": cast_tree(dp)}
+                fake_scores = d_score(p, cast(fake), probs, k_augf).astype(jnp.float32)
+                real_fn = lambda im: d_score(p, cast(im), probs, k_augr).astype(jnp.float32)
                 real_scores = real_fn(real_img)
                 r, f = real_scores, fake_scores
                 if tc.rel_disc_loss:
@@ -269,8 +285,8 @@ def make_train_step(
             batch = img.shape[0]
 
             def g_loss(gp_):
-                p = {**params, **gp_}
-                logits_real = classifier_fn(img)
+                p = {**cast_tree(params), **cast_tree(gp_)}
+                logits_real = classifier_fn(img).astype(jnp.float32)
                 probs = jax.nn.softmax(logits_real, axis=-1) if cfg.arch == Arch.NEW else None
 
                 def enc_branch(_):
@@ -283,9 +299,9 @@ def make_train_step(
 
                 w_styles, enc_out = lax.cond(is_enc, enc_branch, prior_branch, None)
                 noise = image_noise(k_noise, batch, B_noise_size)
-                fake, _ = modules.generate(p, w_styles, noise)
-                fake_logits = classifier_fn(fake)
-                fake_scores = d_score(p, cast(fake), probs, k_aug)
+                fake, _ = modules.generate(p, cast(w_styles), cast(noise))
+                fake_logits = classifier_fn(fake).astype(jnp.float32)
+                fake_scores = d_score(p, cast(fake), probs, k_aug).astype(jnp.float32)
 
                 if g_needs_reals:
                     real_scores = lax.stop_gradient(
