@@ -109,7 +109,14 @@ class Trainer:
         else:
             self.lpips_params = init_lpips_params(jax.random.PRNGKey(7))
 
-        self.mesh = make_mesh(self.train_cfg.num_devices)
+        # data-parallel mesh: default to the largest device count that
+        # divides the global batch (so tiny configs run on big hosts)
+        n_devices = self.train_cfg.num_devices
+        if n_devices is None:
+            n_devices = jax.device_count()
+            while self.train_cfg.batch_size % n_devices:
+                n_devices -= 1
+        self.mesh = make_mesh(n_devices)
         self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
         self.modules = None

@@ -21,8 +21,13 @@ def enable_persistent_cache(path: str | None = None) -> bool:
     if os.environ.get("STYLEX_TPU_NO_CACHE"):
         return False
     try:
-        os.makedirs(path or _DEFAULT, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path or _DEFAULT)
+        # per-backend cache dir: entries AOT-compiled for one machine
+        # profile must not be replayed on another (cpu_aot_loader SIGILL
+        # hazard when remote-compiled CPU code lands on the host).
+        base = path or _DEFAULT
+        full = os.path.join(base, jax.default_backend())
+        os.makedirs(full, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", full)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         return True
