@@ -109,6 +109,11 @@ def train_from_folder(
     from stylex_tpu.train.trainer import NanException, Trainer
 
     set_seed(seed)
+    if multi_gpus:
+        print(
+            "--multi-gpus is a no-op here: JAX is single-controller; "
+            "use --num-devices to size the data-parallel mesh."
+        )
 
     model_cfg = ModelConfig(
         image_size=image_size,

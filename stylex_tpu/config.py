@@ -50,6 +50,9 @@ class ModelConfig:
     encoder_class: Optional[str] = None  # debug encoder registry name
     fq_layers: Tuple[int, ...] = ()  # D feature-quantization layers
     fq_dict_size: int = 256
+    # rematerialise generator blocks in the backward pass (trade FLOPs for
+    # HBM at 256px+; jax.checkpoint per block)
+    remat: bool = False
 
     @property
     def mapping_dim(self) -> int:

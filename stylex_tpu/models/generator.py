@@ -185,6 +185,8 @@ class Generator(nn.Module):
     attn_layers: Sequence[int] = ()
     no_const: bool = False
     fmap_max: int = 512
+    # remat each block's backward pass (high-res memory/FLOP trade)
+    remat: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -250,7 +252,8 @@ class Generator(nn.Module):
                 d2 = style_delta[:, offset + in_chan : offset + in_chan + out_chan]
             offset += in_chan + out_chan
 
-            x, rgb, block_coords = GeneratorBlock(
+            block_cls = nn.remat(GeneratorBlock) if self.remat else GeneratorBlock
+            x, rgb, block_coords = block_cls(
                 self.latent_dim,
                 in_chan,
                 out_chan,

@@ -96,6 +96,7 @@ def build_stylex(cfg: ModelConfig) -> StylExModules:
         attn_layers=tuple(cfg.attn_layers),
         no_const=cfg.no_const,
         fmap_max=cfg.fmap_max,
+        remat=cfg.remat,
     )
     D = DiscriminatorE(
         image_size=cfg.image_size,

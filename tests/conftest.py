@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# reruns of the (compile-heavy) suite hit the persistent cache
+from stylex_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
