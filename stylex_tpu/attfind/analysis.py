@@ -7,7 +7,7 @@ same greedy semantics so top-k coordinate lists are directly comparable.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -22,13 +22,13 @@ reference notebook or ours) can read either.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stylex_tpu.config import Arch, ModelConfig
+from stylex_tpu.config import Arch
 from stylex_tpu.models.stylex import StylExModules, make_w
 from stylex_tpu.ops.latents import expand_styles
 from stylex_tpu.parallel.mesh import coordinate_sharding, replicated

@@ -10,7 +10,7 @@ explicit ``style_delta`` input — one batched forward for a whole panel.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

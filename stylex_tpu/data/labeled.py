@@ -24,10 +24,9 @@ images feed both GAN training and classification.
 from __future__ import annotations
 
 import csv
-import os
 import shutil
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

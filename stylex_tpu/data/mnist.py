@@ -16,7 +16,6 @@ from __future__ import annotations
 import gzip
 import struct
 from pathlib import Path
-from typing import Optional, Tuple
 
 import numpy as np
 

@@ -21,8 +21,7 @@ used when no checkpoint is given (e.g. for classifier pre-training, SURVEY
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stylex_tpu.config import Arch, ModelConfig
+from stylex_tpu.config import ModelConfig
 from stylex_tpu.models.discriminator import discriminator_filters
 from stylex_tpu.models.generator import generator_filters
 

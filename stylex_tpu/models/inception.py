@@ -21,7 +21,7 @@ network initialises from a fixed seed (self-consistent FID only —
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

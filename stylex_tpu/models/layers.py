@@ -11,7 +11,7 @@ numerology in NHWC/HWIO layouts.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ keys so training schedules are reproducible and jittable.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

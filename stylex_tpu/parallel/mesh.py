@@ -19,7 +19,7 @@ parallelism is single-controller SPMD:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -8,7 +8,7 @@ path-length running mean — `/root/reference/stylex/stylex_train.py:912-999,
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

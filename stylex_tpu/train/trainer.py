@@ -27,7 +27,7 @@ import json
 import math
 import shutil
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +48,7 @@ from stylex_tpu.ops.latents import (
     slerp,
     truncate_w,
 )
-from stylex_tpu.parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from stylex_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from stylex_tpu.train.state import StylExTrainState, create_train_state
 from stylex_tpu.train.steps import make_train_step
 from stylex_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint

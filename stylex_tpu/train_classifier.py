@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Callable, Iterable, Tuple
 
 import numpy as np
 
