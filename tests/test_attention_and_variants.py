@@ -1,0 +1,128 @@
+"""LinearAttention parity vs a torch oracle; no_const + attn generator
+variants; CLI feature-flag smoke (cl_reg / top-k / dual-contrast / fq)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from stylex_tpu.config import ModelConfig, TrainConfig
+from stylex_tpu.models import Generator, build_stylex
+from stylex_tpu.models.layers import LinearAttention
+
+
+class TLinearAttention(tnn.Module):
+    """Oracle: the published linear-attention formulation
+    (softmax(q, -1) scaled, softmax(k, -2), k^T v context)."""
+
+    def __init__(self, dim, dim_head=16, heads=2):
+        super().__init__()
+        self.scale = dim_head**-0.5
+        self.heads = heads
+        self.dim_head = dim_head
+        inner = dim_head * heads
+        self.to_q = tnn.Conv2d(dim, inner, 1, bias=False)
+        self.to_kv_depth = tnn.Conv2d(dim, dim, 3, padding=1, groups=dim, bias=False)
+        self.to_kv_point = tnn.Conv2d(dim, inner * 2, 1, bias=False)
+        self.to_out = tnn.Conv2d(inner, dim, 1)
+
+    def forward(self, fmap):
+        b, c, hh, ww = fmap.shape
+        h, d = self.heads, self.dim_head
+        q = self.to_q(fmap)
+        kv = self.to_kv_point(self.to_kv_depth(fmap))
+        k, v = kv.chunk(2, dim=1)
+
+        def split(t):
+            return t.reshape(b, h, d, hh * ww).permute(0, 1, 3, 2)
+
+        q, k, v = map(split, (q, k, v))
+        q = q.softmax(dim=-1) * self.scale
+        k = k.softmax(dim=-2)
+        context = torch.einsum("bhnd,bhne->bhde", k, v)
+        out = torch.einsum("bhnd,bhde->bhne", q, context)
+        out = out.permute(0, 1, 3, 2).reshape(b, h * d, hh, ww)
+        out = tF.gelu(out)
+        return self.to_out(out)
+
+
+@pytest.mark.slow
+def test_linear_attention_matches_torch():
+    torch.manual_seed(0)
+    dim = 8
+    oracle = TLinearAttention(dim).eval()
+    x = torch.randn(2, dim, 6, 6)
+    with torch.no_grad():
+        want = oracle(x).numpy()
+
+    attn = LinearAttention(dim, dim_head=16, heads=2)
+    sd = oracle.state_dict()
+
+    def conv_w(key):
+        return jnp.asarray(sd[key].numpy().transpose(2, 3, 1, 0))
+
+    params = {
+        "to_q": {"kernel": conv_w("to_q.weight")},
+        "to_kv_depth": {"kernel": conv_w("to_kv_depth.weight")},
+        "to_kv_point": {"kernel": conv_w("to_kv_point.weight")},
+        "to_out": {
+            "kernel": conv_w("to_out.weight"),
+            "bias": jnp.asarray(sd["to_out.bias"].numpy()),
+        },
+    }
+    got = attn.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got), want.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_generator_no_const_and_attention_variants():
+    key = jax.random.PRNGKey(0)
+    for kwargs in ({"no_const": True}, {"attn_layers": (2,)}):
+        G = Generator(16, 34, 4, **kwargs)
+        w = jax.random.normal(key, (2, G.num_layers, 34))
+        noise = jax.random.uniform(key, (2, 16, 16, 1))
+        params = G.init(key, w, noise)
+        rgb, coords = G.apply(params, w, noise)
+        assert rgb.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(rgb)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "tc_kwargs",
+    [
+        {"cl_reg": True},
+        {"top_k_training": True},
+        {"dual_contrast_loss": True},
+        {"rel_disc_loss": True},
+    ],
+)
+def test_train_step_feature_flags(tc_kwargs):
+    from stylex_tpu.models.classifiers import build_classifier
+    from stylex_tpu.models.lpips import init_lpips_params
+    from stylex_tpu.train.state import create_train_state
+    from stylex_tpu.train.steps import make_train_step
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=2, aug_prob=0.1, **tc_kwargs)
+    modules = build_stylex(cfg)
+    state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+    batch = {
+        k: jax.random.uniform(jax.random.PRNGKey(i), (2, 2, 16, 16, 3))
+        for i, k in enumerate(("d_real", "d_enc", "g_imgs"))
+    }
+    if tc.dual_contrast_loss:
+        batch["g_real"] = jax.random.uniform(jax.random.PRNGKey(9), (2, 2, 16, 16, 3))
+    if tc.top_k_training:
+        batch["top_k"] = jnp.asarray(1, jnp.int32)
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
