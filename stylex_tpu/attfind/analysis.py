@@ -79,6 +79,8 @@ def find_significant_styles(
     """
     num_images = style_change_effect.shape[0]
     num_coords = style_change_effect.shape[2]
+    if num_images == 0:
+        return []
     effect = np.maximum(0.0, style_change_effect[:, :, :, class_index]).reshape(num_images, -1)
 
     images_effect = np.zeros(num_images)

@@ -102,6 +102,10 @@ def main(argv=None) -> None:
     )
     per_class = {}
     for class_index in range(cfg.num_classes):
+        if len(effects_cls[class_index]) == 0:
+            print(f"class {class_index}: 0 images — skipped")
+            per_class[class_index] = []
+            continue
         per_class[class_index] = find_significant_styles(
             effects_cls[class_index], args.num_indices, class_index,
             max_image_effect=args.effect_threshold * 5,
