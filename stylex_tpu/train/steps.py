@@ -205,6 +205,23 @@ def make_train_step(
                 fake_scores = d_score(p, cast(fake), probs, k_augf).astype(jnp.float32)
                 real_fn = lambda im: d_score(p, cast(im), probs, k_augr).astype(jnp.float32)
                 real_scores = real_fn(real_img)
+                q_loss = jnp.zeros(())
+                if cfg.fq_layers:
+                    # feature-quantization commitment losses on both passes
+                    # (`stylex_train_new.py:1381-1385` intent; dropped there)
+                    def q_of(images, key):
+                        variables = {"params": p["D"], "vq": params["D_vq"]}
+                        aug = augment_for_discriminator(key, images, aug_prob, aug_types)
+                        args = (aug, probs) if cfg.arch == Arch.NEW else (aug,)
+                        _, inter = modules.D.apply(
+                            variables, *args, mutable=["intermediates"]
+                        )
+                        return sum(
+                            jnp.sum(v)
+                            for v in jax.tree.leaves(inter["intermediates"])
+                        )
+
+                    q_loss = q_of(cast(fake), k_augf) + q_of(cast(real_img), k_augr)
                 r, f = real_scores, fake_scores
                 if tc.rel_disc_loss:
                     r = real_scores - jnp.mean(fake_scores)
@@ -215,7 +232,7 @@ def make_train_step(
                     lambda: gradient_penalty(real_fn, real_img),
                     lambda: jnp.zeros((), div.dtype),
                 )
-                extra = jnp.zeros((), div.dtype)
+                extra = q_loss.astype(div.dtype)
                 if tc.cl_reg:
                     # SimCLR regularisation on D trunk features; generated
                     # images join after 20k steps (`stylex_train.py:1274`).
@@ -230,7 +247,7 @@ def make_train_step(
                         lambda: contrastive_d_loss(feats, k_cl, fake),
                         lambda: jnp.zeros(()),
                     )
-                    extra = cl + cl_gen
+                    extra = extra + cl + cl_gen
                 return (div + gp + extra) / accum, (div, gp)
 
             (_, (div, gp)), grads = jax.value_and_grad(d_loss, has_aux=True)(params["D"])
@@ -376,6 +393,21 @@ def make_train_step(
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, params["D"])
         new_d = jax.tree.map(jnp.add, params["D"], d_updates)
         params = {**params, "D": new_d}
+
+        if cfg.fq_layers:
+            # EMA codebook update on the last real micro-batch (the torch VQ
+            # updates its codebook inside forward; here it is an explicit
+            # state transition on the 'vq' collection).
+            variables = {"params": params["D"], "vq": params["D_vq"]}
+            last_real = batch["d_real"][-1]
+            if cfg.arch == Arch.NEW:
+                uniform = jnp.full(
+                    (last_real.shape[0], cfg.num_classes), 1.0 / cfg.num_classes
+                )
+                _, upd = modules.D.apply(variables, last_real, uniform, mutable=["vq"])
+            else:
+                _, upd = modules.D.apply(variables, last_real, mutable=["vq"])
+            params = {**params, "D_vq": upd["vq"]}
 
         g_grads, g_loss, rec, kl, pl_len, _ = g_phase(
             params, rng_g, batch["g_imgs"], g_real, apply_pl, state.pl_mean, top_k, gside_from_d
