@@ -304,15 +304,17 @@ class Trainer:
             )
 
     # ------------------------------------------------------------ evaluation
-    def _style_mean(self, n: int = 2000, ema: bool = False) -> jax.Array:
-        """``av``: mean w over n z-samples (`truncate_style`, `:1624-1640`)."""
+    def _style_mean(self, n: int = 2000) -> jax.Array:
+        """``av``: mean w over n z-samples of the live S
+        (`truncate_style`, `:1624-1640` — the reference uses the live
+        mapping net for the average even when generating with EMA nets)."""
         z = latent_noise(jax.random.PRNGKey(0), n, self.model_cfg.mapping_dim)
-        w = self.modules.map_z(self.full_params, z, ema=ema)
+        w = self.modules.map_z(self.full_params, z)
         return jnp.mean(w, axis=0, keepdims=True)
 
-    def truncated_w(self, w: jax.Array, ema: bool = False) -> jax.Array:
+    def truncated_w(self, w: jax.Array) -> jax.Array:
         if self.av is None:
-            self.av = self._style_mean(ema=ema)
+            self.av = self._style_mean()
         return truncate_w(w, self.av, self.train_cfg.trunc_psi)
 
     def generate_images(self, w_styles, noise, ema: bool = False, style_delta=None):
@@ -336,28 +338,27 @@ class Trainer:
         out = self.results_dir / self.name
 
         if encoder_input and self.loader is not None:
-            imgs = []
-            need = total
-            while need > 0:
-                b = next(self.loader.sample_loader)
-                imgs.append(b)
-                need -= b.shape[0]
-            batch = jnp.asarray(np.concatenate(imgs, 0)[:total])
+            # encoder round-trip grids: truncated encoder w, with the real
+            # batch concatenated above the reconstructions
+            # (`evaluate`, `:1528-1551`)
+            batch = jnp.asarray(next(self.loader.sample_loader))
+            enc_rows = batch.shape[0]
+            enc_noise = image_noise(k_noise, enc_rows, cfg.image_size)
             logits = self.classifier.classify_images(batch)
             enc = self.modules.encode(self.full_params, batch)
-            w = make_w(cfg, enc, logits)
+            w = self.truncated_w(make_w(cfg, enc, logits))
             w_styles = expand_styles(w, L)
-            generated = self.generate_images(w_styles, noise)
-            save_image_grid(np.asarray(generated), str(out / f"{num}-from_encoder.{ext}"), num_rows)
-            generated = self.generate_images(w_styles, noise, ema=True)
-            save_image_grid(
-                np.asarray(generated), str(out / f"{num}-from_encoder-ema.{ext}"), num_rows
-            )
+            for ema, suffix in ((False, ""), (True, "-ema")):
+                generated = self.generate_images(w_styles, enc_noise, ema=ema)
+                panel = np.concatenate([np.asarray(batch), np.asarray(generated)])
+                save_image_grid(panel, str(out / f"{num}-from_encoder{suffix}.{ext}"), enc_rows)
 
         z = latent_noise(k_z, total, cfg.mapping_dim)
         for ema, suffix in ((False, ""), (True, "-ema")):
             w = self.modules.map_z(self.full_params, z, ema=ema)
-            w = self.truncated_w(w, ema=ema) if trunc < 1.0 else w
+            # the reference always truncates its eval grids with trunc_psi
+            # (`generate_truncated`, `stylex_train.py:1539,1648-1656`)
+            w = self.truncated_w(w)
             if cfg.arch == Arch.NEW:
                 probs = jax.nn.softmax(
                     jax.random.normal(jax.random.PRNGKey(num + 1), (total, cfg.num_classes)),
@@ -366,7 +367,7 @@ class Trainer:
                 w = jnp.concatenate([w, probs], axis=-1)
             generated = self.generate_images(expand_styles(w, L), noise, ema=ema)
             save_image_grid(np.asarray(generated), str(out / f"{num}{suffix}.{ext}"), num_rows)
-            self.av = None
+        self.av = None
 
         # style mixing regularities grid (`:1555-1575`)
         z1 = latent_noise(jax.random.PRNGKey(num + 2), num_rows, cfg.mapping_dim)
