@@ -400,9 +400,10 @@ class Trainer:
 
         from stylex_tpu.utils.image import make_grid, to_uint8
 
-        for ratio in np.linspace(0.0, 1.0, num_steps):
+        # ratios run 0..8 in the reference (`:1675`), with truncated EMA nets
+        for ratio in np.linspace(0.0, 8.0, num_steps):
             z = slerp(float(ratio), z_low, z_high)
-            w = self.modules.map_z(self.full_params, z, ema=True)
+            w = self.truncated_w(self.modules.map_z(self.full_params, z, ema=True))
             if cfg.arch == Arch.NEW:
                 probs = jnp.full((total, cfg.num_classes), 1.0 / cfg.num_classes)
                 w = jnp.concatenate([w, probs], axis=-1)
