@@ -57,8 +57,12 @@ def _make_blur_kernel(tile_h: int, w: int, w_pad: int, c_tile: int, down: bool):
             copy.wait()
             x = scratch[:]
             rows = in_rows - 2
-            v = 0.25 * x[0:rows, :, :] + 0.5 * x[1 : rows + 1, :, :] + 0.25 * x[2 : rows + 2, :, :]
-            h = 0.25 * v[:, 0:w, :] + 0.5 * v[:, 1 : w + 1, :] + 0.25 * v[:, 2 : w + 2, :]
+            # taps in the compute dtype — python-float scaling would promote
+            # bf16 lanes to f32 mid-kernel
+            q = jnp.asarray(0.25, x.dtype)
+            half = jnp.asarray(0.5, x.dtype)
+            v = q * x[0:rows, :, :] + half * x[1 : rows + 1, :, :] + q * x[2 : rows + 2, :, :]
+            h = q * v[:, 0:w, :] + half * v[:, 1 : w + 1, :] + q * v[:, 2 : w + 2, :]
             if down:
                 # 2x decimation; strided slices lower as (unsupported 3-D)
                 # gathers in Mosaic, so select via reshape + scalar index.
