@@ -21,11 +21,23 @@ def enable_persistent_cache(path: str | None = None) -> bool:
     if os.environ.get("STYLEX_TPU_NO_CACHE"):
         return False
     try:
-        # per-backend cache dir: entries AOT-compiled for one machine
-        # profile must not be replayed on another (cpu_aot_loader SIGILL
-        # hazard when remote-compiled CPU code lands on the host).
+        # per-backend, per-host-CPU cache dir: entries AOT-compiled for one
+        # machine profile must not be replayed on another (cpu_aot_loader
+        # SIGILL hazard when remote-compiled CPU code lands on the host).
+        import hashlib
+
+        try:
+            flags = ""
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        flags = line
+                        break
+            host_sig = hashlib.sha1(flags.encode()).hexdigest()[:8]
+        except Exception:
+            host_sig = "unknown"
         base = path or _DEFAULT
-        full = os.path.join(base, jax.default_backend())
+        full = os.path.join(base, f"{jax.default_backend()}-{host_sig}")
         os.makedirs(full, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", full)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
