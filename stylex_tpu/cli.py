@@ -149,6 +149,7 @@ def train_from_folder(
         generator_top_k_gamma=generator_top_k_gamma,
         generator_top_k_frac=generator_top_k_frac,
         aug_prob=aug_prob,
+        num_workers=num_workers,
         aug_types=tuple(cast_list(aug_types)),
         dataset_aug_prob=dataset_aug_prob,
         no_pl_reg=no_pl_reg,

@@ -101,6 +101,7 @@ class TrainConfig:
     generator_top_k_gamma: float = 0.99
     generator_top_k_frac: float = 0.5
     aug_prob: Optional[float] = None  # auto-set from dataset size when None
+    num_workers: Optional[int] = None  # decode threads; None = loader default
     aug_types: Tuple[str, ...] = ("translation", "cutout")
     dataset_aug_prob: float = 0.0
     no_pl_reg: bool = False

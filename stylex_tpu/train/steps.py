@@ -173,9 +173,9 @@ def make_train_step(
     # ------------------------------------------------------------- D phase
     def d_phase(params: Params, rng: jax.Array, d_real, d_enc, apply_gp, apply_cl_gen):
         def micro(carry, xs):
-            d_grads, gside_grads, div_acc, gp_acc, rng = carry
+            d_grads, gside_grads, div_acc, gp_acc, q_acc, cr_acc, rng = carry
             real_img, enc_img, is_enc = xs
-            rng, k_prior, k_noise, k_augf, k_augr, k_cl = jax.random.split(rng, 6)
+            rng, k_prior, k_noise, k_augf, k_augr, k_cl_r, k_cl_f = jax.random.split(rng, 7)
             batch = real_img.shape[0]
 
             if cfg.arch == Arch.NEW:
@@ -232,25 +232,30 @@ def make_train_step(
                     lambda: gradient_penalty(real_fn, real_img),
                     lambda: jnp.zeros((), div.dtype),
                 )
-                extra = q_loss.astype(div.dtype)
+                q_loss = q_loss.astype(div.dtype)
+                cr_loss = jnp.zeros((), div.dtype)
                 if tc.cl_reg:
                     # SimCLR regularisation on D trunk features; generated
                     # images join after 20k steps (`stylex_train.py:1274`).
+                    # Real and generated views use independent keys so their
+                    # augmentations are uncorrelated.
                     from stylex_tpu.losses.contrastive import contrastive_d_loss
 
                     feats = lambda im: modules.D.apply(
                         {"params": dp}, im, return_features=True
                     )
-                    cl = contrastive_d_loss(feats, k_cl, real_img)
+                    cl = contrastive_d_loss(feats, k_cl_r, real_img)
                     cl_gen = lax.cond(
                         apply_cl_gen,
-                        lambda: contrastive_d_loss(feats, k_cl, fake),
+                        lambda: contrastive_d_loss(feats, k_cl_f, fake),
                         lambda: jnp.zeros(()),
                     )
-                    extra = extra + cl + cl_gen
-                return (div + gp + extra) / accum, (div, gp)
+                    cr_loss = (cl + cl_gen).astype(div.dtype)
+                return (div + gp + q_loss + cr_loss) / accum, (div, gp, q_loss, cr_loss)
 
-            (_, (div, gp)), grads = jax.value_and_grad(d_loss, has_aux=True)(params["D"])
+            (_, (div, gp, q_l, cr_l)), grads = jax.value_and_grad(d_loss, has_aux=True)(
+                params["D"]
+            )
             d_grads = _tree_add(d_grads, grads)
 
             # Optional rec/KL during the D phase (NEW arch, encoder
@@ -275,7 +280,15 @@ def make_train_step(
                 )
                 gside_grads = _tree_add(gside_grads, aux_grads)
 
-            return (d_grads, gside_grads, div_acc + div / accum, gp_acc + gp / accum, rng), None
+            return (
+                d_grads,
+                gside_grads,
+                div_acc + div / accum,
+                gp_acc + gp / accum,
+                q_acc + q_l.astype(jnp.float32) / accum,
+                cr_acc + cr_l.astype(jnp.float32) / accum,
+                rng,
+            ), None
 
         gside0 = _tree_zeros_like({k: params[k] for k in ("encoder", "S", "G")})
         init = (
@@ -283,12 +296,14 @@ def make_train_step(
             gside0,
             jnp.zeros(()),
             jnp.zeros(()),
+            jnp.zeros(()),
+            jnp.zeros(()),
             rng,
         )
-        (d_grads, gside_grads, div, gp, rng), _ = lax.scan(
+        (d_grads, gside_grads, div, gp, q_l, cr_l, rng), _ = lax.scan(
             micro, init, (d_real, d_enc, is_enc_flags)
         )
-        return d_grads, gside_grads, div, gp, rng
+        return d_grads, gside_grads, div, gp, q_l, cr_l, rng
 
     # ------------------------------------------------------------- G phase
     def g_phase(params: Params, rng, g_imgs, g_real, apply_pl, pl_mean, top_k, gside_init):
@@ -386,7 +401,7 @@ def make_train_step(
 
         apply_cl_gen = step > 20_000
         rng_d, rng_g = jax.random.split(rng)
-        d_grads, gside_from_d, d_div, gp, _ = d_phase(
+        d_grads, gside_from_d, d_div, gp, q_l, cr_l, _ = d_phase(
             params, rng_d, batch["d_real"], batch["d_enc"], apply_gp, apply_cl_gen
         )
 
@@ -452,6 +467,12 @@ def make_train_step(
             "gp": gp,
             "pl_mean": pl_mean,
         }
+        # like the reference's print_log, Q/CR only appear when the features
+        # are enabled (`stylex_train.py:1700-1715` exists() filter)
+        if cfg.fq_layers:
+            metrics["q_loss"] = q_l
+        if tc.cl_reg:
+            metrics["cr_loss"] = cr_l
         return new_state, metrics
 
     return train_step

@@ -208,6 +208,9 @@ class Trainer:
                 aug_prob=tc.dataset_aug_prob,
                 seed=self.seed,
             )
+        loader_kwargs = {}
+        if tc.num_workers is not None:
+            loader_kwargs["num_workers"] = tc.num_workers
         self.loader = StepBatchLoader(
             self.dataset,
             tc.batch_size,
@@ -215,6 +218,7 @@ class Trainer:
             seed=self.seed,
             weights=weights,
             need_g_real=tc.dual_contrast_loss,
+            **loader_kwargs,
         )
         # auto augmentation probability for small datasets (`:1243-1247`)
         if self.aug_prob is None and len(self.dataset) < 1e5:
@@ -360,10 +364,12 @@ class Trainer:
             # (`generate_truncated`, `stylex_train.py:1539,1648-1656`)
             w = self.truncated_w(w)
             if cfg.arch == Arch.NEW:
-                probs = jax.nn.softmax(
-                    jax.random.normal(jax.random.PRNGKey(num + 1), (total, cfg.num_classes)),
-                    axis=-1,
+                # reference draws uniform randoms and normalises to sum 1
+                # (`stylex_train_new.py:1618-1620`)
+                probs = jax.random.uniform(
+                    jax.random.PRNGKey(num + 1), (total, cfg.num_classes)
                 )
+                probs = probs / jnp.sum(probs, axis=1, keepdims=True)
                 w = jnp.concatenate([w, probs], axis=-1)
             generated = self.generate_images(expand_styles(w, L), noise, ema=ema)
             save_image_grid(np.asarray(generated), str(out / f"{num}{suffix}.{ext}"), num_rows)
@@ -379,7 +385,10 @@ class Trainer:
         w2g = jnp.tile(w2, (num_rows, 1))  # column styles
         wmix = mixed_w_styles(w2g, w1g, tt, L)
         if cfg.arch == Arch.NEW:
-            probs = jnp.full((total, cfg.num_classes), 1.0 / cfg.num_classes)
+            # reference re-draws fresh rand/sum pairs for the mixing grid
+            # (`stylex_train_new.py:1658-1660`)
+            probs = jax.random.uniform(jax.random.PRNGKey(num + 4), (total, cfg.num_classes))
+            probs = probs / jnp.sum(probs, axis=1, keepdims=True)
             wmix = jnp.concatenate([wmix, jnp.broadcast_to(probs[:, None], (total, L, cfg.num_classes))], -1)
         generated = self.generate_images(wmix, noise, ema=True)
         save_image_grid(np.asarray(generated), str(out / f"{num}-mr.{ext}"), num_rows)

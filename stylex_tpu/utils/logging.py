@@ -49,12 +49,12 @@ class MetricLogger:
             self._csv_header_written = True
 
     def print_line(self, step: int, metrics: Dict[str, float]) -> str:
-        """The reference's ``G | D | GP | PL | Rec | KL`` status line
-        (`stylex_train.py:1700-1715`)."""
+        """The reference's ``G | D | GP | PL | CR | Q | FID | Rec | KL``
+        status line (`stylex_train.py:1700-1715`)."""
         parts = [f"step {step}"]
         for label, key in [("G", "g_loss"), ("D", "d_loss"), ("GP", "gp"),
-                           ("PL", "pl_mean"), ("Rec", "rec_loss"), ("KL", "kl_loss"),
-                           ("FID", "fid")]:
+                           ("PL", "pl_mean"), ("CR", "cr_loss"), ("Q", "q_loss"),
+                           ("FID", "fid"), ("Rec", "rec_loss"), ("KL", "kl_loss")]:
             if key in metrics:
                 parts.append(f"{label}: {metrics[key]:.4f}")
         line = " | ".join(parts)

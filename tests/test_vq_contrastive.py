@@ -88,3 +88,36 @@ def test_fq_train_step_updates_codebook():
     assert all(np.isfinite(float(v)) for v in metrics.values())
     book1 = np.asarray(jax.tree.leaves(state.params["D_vq"])[0])
     assert not np.allclose(book0, book1)
+    # the fq commitment loss must surface in metrics (reference's Q field,
+    # `stylex_train.py:1700-1715`)
+    assert "q_loss" in metrics and float(metrics["q_loss"]) != 0.0
+
+
+@pytest.mark.slow
+def test_cl_reg_metrics_and_print_line():
+    from stylex_tpu.config import ModelConfig, TrainConfig
+    from stylex_tpu.models import build_stylex
+    from stylex_tpu.models.classifiers import build_classifier
+    from stylex_tpu.models.lpips import init_lpips_params
+    from stylex_tpu.train.state import create_train_state
+    from stylex_tpu.train.steps import make_train_step
+    from stylex_tpu.utils.logging import MetricLogger
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=2, aug_prob=0.1, cl_reg=True)
+    modules = build_stylex(cfg)
+    state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+    batch = {
+        k: jax.random.uniform(jax.random.PRNGKey(i), (2, 2, 16, 16, 3))
+        for i, k in enumerate(("d_real", "d_enc", "g_imgs"))
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert "cr_loss" in metrics and np.isfinite(float(metrics["cr_loss"]))
+    assert float(metrics["cr_loss"]) != 0.0
+    line = MetricLogger().print_line(
+        1, {k: float(v) for k, v in metrics.items()}
+    )
+    assert "CR:" in line
