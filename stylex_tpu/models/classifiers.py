@@ -246,13 +246,23 @@ def build_classifier(
         model = MobileNetV2(num_classes=num_classes)
     variables = model.init(rng if rng is not None else jax.random.PRNGKey(0), dummy)
     if checkpoint_path is not None:
-        import torch
+        if str(checkpoint_path).endswith((".msgpack", ".mp")):
+            # native format written by ClassifierTrainer.save
+            from pathlib import Path
 
-        state = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-        if kind == "resnet":
-            variables = convert_resnet18_state_dict(state, num_classes)
+            from flax import serialization
+
+            payload = serialization.msgpack_restore(Path(checkpoint_path).read_bytes())
+            variables = serialization.from_state_dict(variables, payload)
         else:
-            variables = convert_mobilenet_v2_state_dict(state, num_classes)
+            # torch state-dict as saved by the reference's notebooks
+            import torch
+
+            state = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+            if kind == "resnet":
+                variables = convert_resnet18_state_dict(state, num_classes)
+            else:
+                variables = convert_mobilenet_v2_state_dict(state, num_classes)
 
     def apply_fn(vars_, x):
         return model.apply(vars_, x, train=False)
