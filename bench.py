@@ -1,107 +1,199 @@
-"""AttFind throughput benchmark — the reference's headline workload.
+"""Multi-metric benchmark on the flagship workloads.
 
-Baseline (BASELINE.md): the reference sweeps 250 images x 2464 StyleSpace
-coordinates x 2 directions as sequential batch-1 generator+classifier
-forwards — ~5 h on the authors' GPU, i.e. ~68 perturbed forwards
-("styles")/sec. This benchmark times the same 64px plant-config workload
-(StylEx generator + MobileNetV2 classifier, one perturbation per forward)
-as batched on-device sweeps and reports styles/sec.
+Primary metric (headline, BASELINE.md): AttFind perturbation throughput at
+the reference's own 64px plant config. The reference sweeps 250 images x
+2464 StyleSpace coordinates x 2 directions as sequential batch-1
+generator+classifier forwards — ~5 h on the authors' GPU, i.e. ~68
+perturbed forwards ("styles")/sec (`run_attfind_combined.ipynb` cell 7).
+Here the sweep is the shipping flat cross-image chunked sweep from
+``stylex_tpu.attfind.extraction`` running in bf16.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extras (VERDICT r1 Weak #5): 256px AttFind throughput, 64px and 256px
+full-train-step imgs/s, and an analytic MFU estimate for the sweep kernel
+(XLA cost-analysis FLOPs / time / chip peak).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_STYLES_PER_SEC = 68.0
+# TPU v5e peak: ~197 TFLOP/s bf16 (half that for fp32)
+PEAK_FLOPS = float(os.environ.get("STYLEX_PEAK_FLOPS", 197e12))
 
 
-def main() -> None:
-    import os
+def _cast_tree(t, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        t,
+    )
 
+
+def _build(image_size: int, dtype):
     from stylex_tpu.config import ModelConfig
     from stylex_tpu.models import build_stylex, init_stylex_params
     from stylex_tpu.models.classifiers import build_classifier
-    from stylex_tpu.ops.latents import expand_styles
 
-    cfg = ModelConfig(image_size=64)
+    cfg = ModelConfig(image_size=image_size)
     modules = build_stylex(cfg)
-    params = init_stylex_params(jax.random.PRNGKey(0), modules)
+    params = _cast_tree(init_stylex_params(jax.random.PRNGKey(0), modules), dtype)
     clf = build_classifier("mobilenet", cfg.image_size)
-    C = modules.total_style_coords  # 2464
+    clf.variables = _cast_tree(clf.variables, dtype)
+    return cfg, modules, params, clf
 
-    coord_batch = 616  # divides 2*2464 = 4928 into 8 chunks
-    num_images = 4
 
-    # TPU-native precision: the sweep runs in bf16 (set STYLEX_BENCH_F32=1
-    # to measure the fp32 path instead).
-    dtype = jnp.float32 if os.environ.get("STYLEX_BENCH_F32") else jnp.bfloat16
-    p = jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
-    clf_vars = jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, clf.variables
-    )
-    clf.variables = clf_vars
+def bench_attfind(image_size: int, coord_batch: int, num_chunks: int, dtype):
+    """Time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
+    from stylex_tpu.attfind.extraction import _make_sweep_fn
 
-    @jax.jit
-    def sweep(w, noise, coord_idx, shift, base_logits):
-        # one-hot deltas built on device from (index, shift) pairs — the
-        # same scheme attfind_extraction uses (KBs to the device, not MBs)
-        n = coord_idx.shape[0]
-        deltas = jax.nn.one_hot(coord_idx, C, dtype=dtype) * shift[:, None].astype(dtype)
-        w_styles = expand_styles(jnp.broadcast_to(w, (n, w.shape[-1])), modules.num_layers)
-        noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
-        gen, _ = modules.generate(
-            p, w_styles.astype(dtype), noise_b.astype(dtype), style_delta=deltas
-        )
-        return clf.classify_images(gen).astype(jnp.float32) - base_logits
+    cfg, modules, params, clf = _build(image_size, dtype)
+    C = modules.total_style_coords
+    N = 4  # images resident on device
 
+    sweep = _make_sweep_fn(modules, params, clf.classify_images, cfg, C, 1.0, None)
     key = jax.random.PRNGKey(1)
-    w = jax.random.normal(key, (cfg.latent_dim,))
-    noise = jax.random.uniform(key, (1, cfg.image_size, cfg.image_size, 1))
-    base_logits = jnp.zeros((cfg.num_classes,))
-    coord_ids = np.tile(np.arange(C, dtype=np.int32), 2)
-    shifts = np.concatenate([np.full(C, 0.5, np.float32), np.full(C, -0.5, np.float32)])
+    w_all = jax.random.normal(key, (N, cfg.latent_dim), dtype)
+    noise = jax.random.uniform(key, (1, image_size, image_size, 1), dtype)
+    coords_all = jax.random.normal(key, (N, C), dtype)
+    minima = coords_all.min(0) - 0.5
+    maxima = coords_all.max(0) + 0.5
+    base = jnp.zeros((N, cfg.num_classes), dtype)
 
-    # warmup/compile
-    out = sweep(w, noise, jnp.asarray(coord_ids[:coord_batch]),
-                jnp.asarray(shifts[:coord_batch]), base_logits)
-    jax.block_until_ready(out)
+    P = N * 2 * C
+    img_ids = np.repeat(np.arange(N, dtype=np.int32), 2 * C)
+    dir_ids = np.tile(np.repeat(np.array([0, 1], np.int32), C), N)
+    coord_ids = np.tile(np.arange(C, dtype=np.int32), 2 * N)
 
+    def chunk(i):
+        sl = slice((i * coord_batch) % P, (i * coord_batch) % P + coord_batch)
+        return sweep(w_all, noise, coords_all, minima, maxima, base,
+                     jnp.asarray(img_ids[sl]), jnp.asarray(coord_ids[sl]),
+                     jnp.asarray(dir_ids[sl]))
+
+    jax.block_until_ready(chunk(0))  # compile
     t0 = time.perf_counter()
-    total = 0
-    for _ in range(num_images):
-        for start in range(0, 2 * C, coord_batch):
-            ids = jnp.asarray(coord_ids[start : start + coord_batch])
-            sh = jnp.asarray(shifts[start : start + coord_batch])
-            out = sweep(w, noise, ids, sh, base_logits)
-            total += ids.shape[0]
+    out = None
+    for i in range(num_chunks):
+        out = chunk(i)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    styles_per_sec = num_chunks * coord_batch / dt
 
-    styles_per_sec = total / dt
+    mfu = None
+    try:
+        lowered = jax.jit(sweep).lower(
+            w_all, noise, coords_all, minima, maxima, base,
+            jnp.asarray(img_ids[:coord_batch]), jnp.asarray(coord_ids[:coord_batch]),
+            jnp.asarray(dir_ids[:coord_batch]),
+        )
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                mfu = flops * num_chunks / dt / PEAK_FLOPS
+    except Exception:
+        pass
+    return styles_per_sec, mfu
+
+
+def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
+                     remat: bool, steps: int = 5):
+    """Time the full jitted train step (both phases, optimizers, EMA)."""
+    from stylex_tpu.config import ModelConfig, TrainConfig
+    from stylex_tpu.models import build_stylex
+    from stylex_tpu.models.classifiers import build_classifier
+    from stylex_tpu.models.lpips import init_lpips_params
+    from stylex_tpu.train.state import create_train_state
+    from stylex_tpu.train.steps import make_train_step
+
+    cfg = ModelConfig(image_size=image_size, remat=remat)
+    tc = TrainConfig(batch_size=batch, gradient_accumulate_every=accum,
+                     aug_prob=0.25, compute_dtype=dtype_name)
+    modules = build_stylex(cfg)
+    state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+    bshape = (accum, batch, image_size, image_size, 3)
+    batch_d = {
+        name: jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(2), i), bshape)
+        for i, name in enumerate(("d_real", "d_enc", "g_imgs"))
+    }
+    state, m = step(state, batch_d, jax.random.PRNGKey(3))  # compile
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, batch_d, jax.random.fold_in(jax.random.PRNGKey(4), i))
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / steps
+    return batch * accum / dt, dt
+
+
+def main() -> None:
+    from stylex_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    dtype = jnp.float32 if os.environ.get("STYLEX_BENCH_F32") else jnp.bfloat16
+    extras = {}
+
+    # primary: 64px AttFind sweep, bf16, chunk 616 (divides 2*2464)
+    styles64, mfu64 = bench_attfind(64, coord_batch=616, num_chunks=16, dtype=dtype)
+    if mfu64 is not None:
+        extras["attfind64_mfu"] = round(mfu64, 4)
+
+    for label, fn in (
+        ("attfind256_styles_per_sec",
+         lambda: bench_attfind(256, coord_batch=128, num_chunks=8, dtype=dtype)),
+    ):
+        try:
+            v, mfu = fn()
+            extras[label] = round(v, 1)
+            if mfu is not None:
+                extras["attfind256_mfu"] = round(mfu, 4)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+
+    for label, fn in (
+        ("train64_imgs_per_sec",
+         lambda: bench_train_step(64, batch=4, accum=8, dtype_name="float32", remat=False)),
+        ("train256_imgs_per_sec",
+         lambda: bench_train_step(256, batch=4, accum=2, dtype_name="bfloat16",
+                                  remat=True, steps=3)),
+    ):
+        try:
+            v, dt = fn()
+            extras[label] = round(v, 2)
+            extras[label.replace("imgs_per_sec", "step_seconds")] = round(dt, 4)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+
     print(
         json.dumps(
             {
                 "metric": "attfind_styles_per_sec",
-                "value": round(styles_per_sec, 1),
+                "value": round(styles64, 1),
                 "unit": "styles/s",
-                "vs_baseline": round(styles_per_sec / BASELINE_STYLES_PER_SEC, 2),
+                "vs_baseline": round(styles64 / BASELINE_STYLES_PER_SEC, 2),
+                "extras": extras,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    import os
-    import traceback
-
     try:
         main()
     except Exception:
