@@ -57,9 +57,12 @@ def blur3(x: jax.Array) -> jax.Array:
       x: (batch, H, W, C) feature map.
     """
     # Lane-dim DMA slices must cover whole 128-lane tiles; narrower channel
-    # counts (e.g. the 3-channel RGB skip) stay on the XLA path. bf16 is
-    # excluded: Mosaic compilation of this kernel pathologically stalls for
-    # 2-byte dtypes on v5e (XLA's bf16 lowering is fast enough there).
+    # counts (e.g. the 3-channel RGB skip) stay on the XLA path. bf16 stays
+    # on XLA by measurement, not by the round-1 Mosaic stall (that compiles
+    # fine now and is bit-exact): on v5e the full D fwd+bwd at 256px/b8 runs
+    # 1.26x FASTER with this kernel in f32 but 0.53x SLOWER in bf16 — XLA's
+    # 2-byte lowering already fuses the separable taps better than the
+    # explicit-DMA kernel's grid overhead can amortise.
     if (
         jax.default_backend() == "tpu"
         and x.shape[-1] % 128 == 0

@@ -24,3 +24,25 @@ def test_blur3_downsample_pallas_matches_xla(shape):
     want = np.asarray(blur3(x))[:, ::2, ::2, :]
     got = np.asarray(blur3_downsample2x_pallas(x, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 4, 4, 128), (1, 8, 8, 130), (2, 8, 12, 16)])
+def test_upsample2x_pallas_matches_resize(shape):
+    from stylex_tpu.ops.blur import upsample2x_bilinear
+    from stylex_tpu.ops.pallas_upsample import upsample2x_bilinear_pallas
+
+    x = jnp.asarray(np.random.RandomState(2).randn(*shape).astype(np.float32))
+    want = np.asarray(upsample2x_bilinear(x))
+    got = np.asarray(upsample2x_bilinear_pallas(x, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(6, 4, 4, 128), (3, 8, 8, 130)])
+def test_upsample2x_pallas_batched_matches_resize(shape):
+    from stylex_tpu.ops.blur import upsample2x_bilinear
+    from stylex_tpu.ops.pallas_upsample import upsample2x_bilinear_pallas_batched
+
+    x = jnp.asarray(np.random.RandomState(3).randn(*shape).astype(np.float32))
+    want = np.asarray(upsample2x_bilinear(x))
+    got = np.asarray(upsample2x_bilinear_pallas_batched(x, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
