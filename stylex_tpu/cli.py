@@ -93,6 +93,7 @@ def train_from_folder(
     kl_scaling: float = 1.0,
     rec_scaling: float = 1.0,
     classifier_path: Optional[str] = None,
+    lpips_path: Optional[str] = None,
     num_classes: int = 2,
     encoder_class: Optional[str] = None,
     sample_from_encoder: bool = True,
@@ -172,6 +173,7 @@ def train_from_folder(
         train_cfg=train_cfg,
         classifier_name=classifier_name,
         classifier_path=classifier_path,
+        lpips_path=lpips_path,
         tensorboard_dir=tensorboard_dir if log or tensorboard_dir else None,
         seed=seed,
     )

@@ -204,22 +204,44 @@ def pool3_features_fn(variables, resize_to: int = 299):
     return features
 
 
-def default_pool3_features():
-    """InceptionV3 features from ``STYLEX_TPU_INCEPTION`` (a torch state
-    dict) when available; None otherwise (callers fall back)."""
-    path = os.environ.get("STYLEX_TPU_INCEPTION")
-    if not path or not os.path.exists(path):
-        return None
+def load_inception_variables(path: str):
+    """Load FID InceptionV3 weights from an ingested ``.msgpack`` (see
+    ``stylex_tpu.ingest``) or a raw torchvision state dict. Fails loudly."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Inception weights not found: {path}")
+    if str(path).endswith((".msgpack", ".mp")):
+        from stylex_tpu.ingest import load_msgpack_tree
+
+        tree = load_msgpack_tree(path)
+        if "params" not in tree:
+            raise ValueError(f"{path} is not an ingested Inception tree")
+        import jax.numpy as _jnp
+
+        import jax as _jax
+
+        return _jax.tree.map(_jnp.asarray, tree)
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    variables = convert_inception_state_dict(sd)
-    return pool3_features_fn(variables)
+    return convert_inception_state_dict(sd)
+
+
+def default_pool3_features():
+    """InceptionV3 features from ``STYLEX_TPU_INCEPTION`` (torch state dict
+    or ingested msgpack). None when the env var is unset (callers fall back
+    to the self-consistent random-feature metric); a SET but missing or
+    malformed path raises — requested real weights never degrade silently."""
+    path = os.environ.get("STYLEX_TPU_INCEPTION")
+    if not path:
+        return None
+    return pool3_features_fn(load_inception_variables(path))
 
 
 def init_inception_variables(key: Optional[jax.Array] = None) -> Dict[str, Any]:
     model = InceptionV3FID()
-    return model.init(key or jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return model.init(key, jnp.zeros((1, 299, 299, 3)))
 
 
 def convert_inception_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["lpips_distance", "init_lpips_params", "convert_lpips_state_dict", "LPIPS_CFG"]
+__all__ = ["lpips_distance", "init_lpips_params", "convert_lpips_state_dict", "load_lpips_params", "LPIPS_CFG"]
 
 # AlexNet feature config: (out_ch, kernel, stride, pad), with maxpool after
 # layers 0 and 1.
@@ -156,3 +156,24 @@ def convert_lpips_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
         in_ch = out_ch
         ki += 1
     return params
+
+
+def load_lpips_params(path: str) -> Dict[str, Any]:
+    """Load LPIPS-alex weights from an ingested ``.msgpack`` (see
+    ``stylex_tpu.ingest``) or a raw torch ``lpips.LPIPS(net='alex')`` state
+    dict. Fails loudly — an explicitly requested weights file never falls
+    back to the random-init backbone."""
+    import os
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"LPIPS weights not found: {path}")
+    if str(path).endswith((".msgpack", ".mp")):
+        from stylex_tpu.ingest import load_msgpack_tree
+
+        tree = load_msgpack_tree(path)
+        if not any(k.startswith("conv") for k in tree):
+            raise ValueError(f"{path} is not an ingested LPIPS tree (keys: {list(tree)[:4]})")
+        return {k: jax.tree.map(jnp.asarray, v) for k, v in tree.items()}
+    import torch
+
+    return convert_lpips_state_dict(torch.load(path, map_location="cpu", weights_only=True))

@@ -101,11 +101,10 @@ class Trainer:
             checkpoint_path=classifier_path,
         )
         if lpips_path is not None:
-            import torch
+            # .msgpack (ingested) or torch .pt; raises if missing/malformed
+            from stylex_tpu.models.lpips import load_lpips_params
 
-            self.lpips_params = convert_lpips_state_dict(
-                torch.load(lpips_path, map_location="cpu", weights_only=True)
-            )
+            self.lpips_params = load_lpips_params(lpips_path)
         else:
             self.lpips_params = init_lpips_params(jax.random.PRNGKey(7))
 
