@@ -55,16 +55,34 @@ class FeatureStats:
 
 def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     """||mu1 - mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) with the standard
-    jitter fallback for near-singular covariances."""
+    jitter fallback for near-singular covariances.
+
+    Sample covariances with fewer samples than feature dims are rank
+    deficient by construction; the jitter is applied preemptively in that
+    regime (and scipy's LinAlgWarning — raised for the near-singular matmul
+    even when the answer is fine — is silenced here: the finiteness check
+    below is the real guard)."""
+    import warnings
+
     from scipy import linalg
 
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     cov1, cov2 = np.atleast_2d(cov1), np.atleast_2d(cov2)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    def _sqrtm(m):
+        out = linalg.sqrtm(m)  # scipy >= 1.16: no `disp`, returns the matrix
+        return out[0] if isinstance(out, tuple) else out
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", linalg.LinAlgWarning)
+        covmean = _sqrtm(cov1 @ cov2)
+        jitter = eps
+        while not np.isfinite(covmean).all() and jitter < 1e2:
+            offset = np.eye(cov1.shape[0]) * jitter
+            covmean = _sqrtm((cov1 + offset) @ (cov2 + offset))
+            jitter *= 100.0
     if not np.isfinite(covmean).all():
-        offset = np.eye(cov1.shape[0]) * eps
-        covmean = linalg.sqrtm((cov1 + offset) @ (cov2 + offset))
+        return float("inf")
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean))
