@@ -82,6 +82,9 @@ def main(argv=None) -> None:
         jax.random.uniform(jax.random.PRNGKey(args.seed), (1, cfg.image_size, cfg.image_size, 1))
     )
 
+    import time
+
+    t0 = time.perf_counter()
     records = attfind_extraction(
         modules, params, clf_fn, images, noise,
         shift_size=args.shift_size,
@@ -90,6 +93,10 @@ def main(argv=None) -> None:
         coord_batch=args.coord_batch,
         mesh=trainer.mesh if len(trainer.mesh.devices.flat) > 1 else None,
     )
+    dt = time.perf_counter() - t0
+    total_styles = records.style_change.shape[0] * 2 * records.style_change.shape[2]
+    print(f"AttFind sweep: {total_styles} perturbed forwards in {dt:.1f}s "
+          f"= {total_styles / dt:.0f} styles/s (incl. compile; reference ~68/s)")
 
     out = Path(args.results_folder)
     out.mkdir(parents=True, exist_ok=True)
