@@ -51,6 +51,8 @@ def main() -> None:
                 ax.plot(steps, cols[key], label=name, linewidth=0.8, alpha=0.85)
             ax.set_title(key)
             ax.set_xlabel("step")
+            if key in ("g_loss", "d_loss", "rec_loss", "gp", "step_time_s"):
+                ax.set_yscale("symlog", linthresh=1e-2)
     for ax in axes.flat:
         ax.legend(fontsize=8)
         ax.grid(alpha=0.3)

@@ -106,7 +106,18 @@ class Trainer:
 
             self.lpips_params = load_lpips_params(lpips_path)
         else:
+            print(
+                "[stylex_tpu] no --lpips-path given: reconstruction loss uses the "
+                "seeded random-feature perceptual metric (valid but NOT the "
+                "reference's pretrained LPIPS-alex; see README weights ingestion)"
+            )
             self.lpips_params = init_lpips_params(jax.random.PRNGKey(7))
+        if classifier_path is None:
+            print(
+                "[stylex_tpu] no --classifier-path given: the frozen classifier is "
+                "randomly initialised — train one with stylex_tpu.train_classifier "
+                "or ingest a torch checkpoint (see README)"
+            )
 
         # data-parallel mesh: default to the largest device count that
         # divides the global batch (so tiny configs run on big hosts)
@@ -349,7 +360,15 @@ class Trainer:
             enc_noise = image_noise(k_noise, enc_rows, cfg.image_size)
             logits = self.classifier.classify_images(batch)
             enc = self.modules.encode(self.full_params, batch)
-            w = self.truncated_w(make_w(cfg, enc, logits))
+            if cfg.arch == Arch.NEW:
+                # NEW truncates the probability-free w and concatenates the
+                # probs afterwards (`generate_truncated`,
+                # `stylex_train_new.py:1738-1743`)
+                w = jnp.concatenate(
+                    [self.truncated_w(enc), jax.nn.softmax(logits, axis=-1)], axis=-1
+                )
+            else:
+                w = self.truncated_w(make_w(cfg, enc, logits))
             w_styles = expand_styles(w, L)
             for ema, suffix in ((False, ""), (True, "-ema")):
                 generated = self.generate_images(w_styles, enc_noise, ema=ema)

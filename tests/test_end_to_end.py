@@ -80,3 +80,28 @@ def test_full_pipeline(tmp_path):
     # counterfactual FID for the top pick
     fids = fid_topk(modules, params, clf_fn, records, ranked, k=1, batch_size=4)
     assert len(fids) == 2 and all(np.isfinite(f) for f in fids)
+
+
+@pytest.mark.slow
+def test_new_arch_encoder_eval_grids(tmp_path):
+    """Regression: NEW-arch evaluate(encoder_input=True) must truncate the
+    probability-free w and concat softmax probs AFTER truncation
+    (`stylex_train_new.py:1738-1743`) — shapes differ (512 vs 514) so doing
+    it in the wrong order crashes."""
+    from stylex_tpu.config import Arch
+    from stylex_tpu.train.trainer import Trainer
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34,
+                      encoder_dim=32, arch=Arch.NEW)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=2, aug_prob=0.0,
+                     save_every=10**9, evaluate_every=10**9, num_image_tiles=2)
+    trainer = Trainer(
+        name="e2e_new", base_dir=str(tmp_path), model_cfg=cfg, train_cfg=tc,
+        classifier_name="mobilenet",
+    )
+    trainer.set_data_src(dataset_name="synthetic")
+    trainer.evaluate(encoder_input=True, num=0)
+    out = tmp_path / "results" / "e2e_new"
+    assert (out / "0-from_encoder.png").exists()
+    assert (out / "0.png").exists() and (out / "0-mr.png").exists()
+    trainer.loader.close()
