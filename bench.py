@@ -9,8 +9,16 @@ Here the sweep is the shipping flat cross-image chunked sweep from
 ``stylex_tpu.attfind.extraction`` running in bf16.
 
 Extras (VERDICT r1 Weak #5): 256px AttFind throughput, 64px and 256px
-full-train-step imgs/s, and an analytic MFU estimate for the sweep kernel
-(XLA cost-analysis FLOPs / time / chip peak).
+full-train-step imgs/s, and an analytic MFU estimate (XLA cost-analysis
+FLOPs / time / chip peak).
+
+All timings use the slope protocol from ``stylex_tpu.utils.timing``:
+this container's TPU is behind a relay that memoizes repeated identical
+executions and can acknowledge work before it completes, so naive
+``block_until_ready`` loops measure dispatch rate, not compute. Each
+workload runs as a scalar- or carry-chained ``lax.fori_loop`` at two
+lengths and the reported time is the slope — fixed relay costs cancel,
+and nothing can be elided or served from a cache.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
@@ -20,12 +28,13 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from stylex_tpu.utils.timing import measure_chained, measure_op
 
 BASELINE_STYLES_PER_SEC = 68.0
 # TPU v5e peak: ~197 TFLOP/s bf16 (half that for fp32)
@@ -54,8 +63,8 @@ def _build(image_size: int, dtype):
     return cfg, modules, params, clf
 
 
-def bench_attfind(image_size: int, coord_batch: int, num_chunks: int, dtype):
-    """Time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
+def bench_attfind(image_size: int, coord_batch: int, dtype):
+    """Slope-time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
     from stylex_tpu.attfind.extraction import _make_sweep_fn
 
     cfg, modules, params, clf = _build(image_size, dtype)
@@ -71,47 +80,36 @@ def bench_attfind(image_size: int, coord_batch: int, num_chunks: int, dtype):
     maxima = coords_all.max(0) + 0.5
     base = jnp.zeros((N, cfg.num_classes), dtype)
 
-    P = N * 2 * C
-    img_ids = np.repeat(np.arange(N, dtype=np.int32), 2 * C)
-    dir_ids = np.tile(np.repeat(np.array([0, 1], np.int32), C), N)
-    coord_ids = np.tile(np.arange(C, dtype=np.int32), 2 * N)
+    img_ids = jnp.asarray(np.arange(coord_batch, dtype=np.int32) % N)
+    coord_ids = jnp.asarray(np.arange(coord_batch, dtype=np.int32) % C)
+    dir_ids = jnp.asarray(np.arange(coord_batch, dtype=np.int32) % 2)
 
-    def chunk(i):
-        sl = slice((i * coord_batch) % P, (i * coord_batch) % P + coord_batch)
-        return sweep(w_all, noise, coords_all, minima, maxima, base,
-                     jnp.asarray(img_ids[sl]), jnp.asarray(coord_ids[sl]),
-                     jnp.asarray(dir_ids[sl]))
-
-    jax.block_until_ready(chunk(0))  # compile
-    t0 = time.perf_counter()
-    out = None
-    for i in range(num_chunks):
-        out = chunk(i)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    styles_per_sec = num_chunks * coord_batch / dt
+    t = measure_op(
+        sweep,
+        [w_all, noise, coords_all, minima, maxima, base, img_ids, coord_ids, dir_ids],
+        n_pair=(8, 32) if image_size <= 64 else (2, 8),
+    )
+    styles_per_sec = coord_batch / t.seconds
 
     mfu = None
     try:
         lowered = jax.jit(sweep).lower(
-            w_all, noise, coords_all, minima, maxima, base,
-            jnp.asarray(img_ids[:coord_batch]), jnp.asarray(coord_ids[:coord_batch]),
-            jnp.asarray(dir_ids[:coord_batch]),
+            w_all, noise, coords_all, minima, maxima, base, img_ids, coord_ids, dir_ids
         )
         cost = lowered.compile().cost_analysis()
         if cost:
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(cost.get("flops", 0.0))
             if flops > 0:
-                mfu = flops * num_chunks / dt / PEAK_FLOPS
+                mfu = flops / t.seconds / PEAK_FLOPS
     except Exception:
         pass
     return styles_per_sec, mfu
 
 
 def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
-                     remat: bool, steps: int = 5):
-    """Time the full jitted train step (both phases, optimizers, EMA)."""
+                     remat: bool):
+    """Slope-time the full jitted train step (both phases, optimizers, EMA)."""
     from stylex_tpu.config import ModelConfig, TrainConfig
     from stylex_tpu.models import build_stylex
     from stylex_tpu.models.classifiers import build_classifier
@@ -126,20 +124,19 @@ def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
     state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
     clf = build_classifier("mobilenet", cfg.image_size)
     lp = init_lpips_params(jax.random.PRNGKey(1))
-    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+    step = make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx)
     bshape = (accum, batch, image_size, image_size, 3)
     batch_d = {
         name: jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(2), i), bshape)
         for i, name in enumerate(("d_real", "d_enc", "g_imgs"))
     }
-    state, m = step(state, batch_d, jax.random.PRNGKey(3))  # compile
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = step(state, batch_d, jax.random.fold_in(jax.random.PRNGKey(4), i))
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / steps
-    return batch * accum / dt, dt
+
+    def chained(i, state):
+        new_state, _ = step(state, batch_d, jax.random.fold_in(jax.random.PRNGKey(3), i))
+        return new_state
+
+    t = measure_chained(chained, state, n_pair=(1, 4) if image_size >= 256 else (2, 8))
+    return batch * accum / t.seconds, t.seconds
 
 
 def main() -> None:
@@ -150,13 +147,13 @@ def main() -> None:
     extras = {}
 
     # primary: 64px AttFind sweep, bf16, chunk 616 (divides 2*2464)
-    styles64, mfu64 = bench_attfind(64, coord_batch=616, num_chunks=16, dtype=dtype)
+    styles64, mfu64 = bench_attfind(64, coord_batch=616, dtype=dtype)
     if mfu64 is not None:
         extras["attfind64_mfu"] = round(mfu64, 4)
 
     for label, fn in (
         ("attfind256_styles_per_sec",
-         lambda: bench_attfind(256, coord_batch=128, num_chunks=8, dtype=dtype)),
+         lambda: bench_attfind(256, coord_batch=128, dtype=dtype)),
     ):
         try:
             v, mfu = fn()
@@ -171,7 +168,7 @@ def main() -> None:
          lambda: bench_train_step(64, batch=4, accum=8, dtype_name="float32", remat=False)),
         ("train256_imgs_per_sec",
          lambda: bench_train_step(256, batch=4, accum=2, dtype_name="bfloat16",
-                                  remat=True, steps=3)),
+                                  remat=True)),
     ):
         try:
             v, dt = fn()
