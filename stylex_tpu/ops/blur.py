@@ -89,15 +89,59 @@ def _blur3_bwd(_, g):
 blur3.defvjp(_blur3_fwd, _blur3_bwd)
 
 
+def upsample2x_bilinear_xla(x: jax.Array) -> jax.Array:
+    """XLA formulation of the bilinear 2× upsample."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+@jax.custom_vjp
 def upsample2x_bilinear(x: jax.Array) -> jax.Array:
     """Bilinear 2× upsample, half-pixel centers (torch ``align_corners=False``).
 
     Matches ``nn.Upsample(scale_factor=2, mode='bilinear',
     align_corners=False)`` used by ``GeneratorBlock`` / ``RGBBlock``
     (`stylex_train.py:604-629,677-686`).
+
+    Dispatch is by measurement (slope protocol, scripts/
+    bench_pallas_upsample.py, v5e): in bf16 XLA's lowering is already
+    near the HBM roofline (450-760 GB/s) and both Pallas kernels lose,
+    so bf16 always takes XLA. In f32 XLA drops to ~300 GB/s and the
+    batch-pipelined Pallas kernel wins up to 1.4x on the training
+    shapes it compiles for (whole padded rows fit VMEM; pow2 batch
+    tiles; spatial and channels inside Mosaic's tiling limits), so
+    those take Pallas. The op is linear; the backward pass is always
+    the exact XLA-derived vjp.
     """
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+    if (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32
+        and c % 128 == 0
+        and 4 <= h <= 16
+        and h == w
+        and b <= 64  # measured: wins at train batches (3.0x @ b8 16x16x512), loses/OOMs at sweep batches
+        and not os.environ.get("STYLEX_TPU_NO_PALLAS")
+    ):
+        from stylex_tpu.ops.pallas_upsample import upsample2x_bilinear_pallas_batched
+
+        return upsample2x_bilinear_pallas_batched(x)
+    return upsample2x_bilinear_xla(x)
+
+
+def _ups2x_fwd(x):
+    return upsample2x_bilinear(x), None
+
+
+def _ups2x_bwd(_, g):
+    b, h2, w2, c = g.shape
+    _, vjp_fn = jax.vjp(
+        upsample2x_bilinear_xla, jnp.zeros((b, h2 // 2, w2 // 2, c), g.dtype)
+    )
+    return (vjp_fn(g)[0],)
+
+
+upsample2x_bilinear.defvjp(_ups2x_fwd, _ups2x_bwd)
 
 
 def upsample2x_blur(x: jax.Array) -> jax.Array:

@@ -169,7 +169,10 @@ def upsample2x_bilinear_pallas_batched(x: jax.Array, interpret: bool = False) ->
     itemsize = jnp.dtype(x.dtype).itemsize
     per_item = ((h + 2) * w_pad + 4 * h * w) * c * itemsize
     tile_b = max(1, min(b, (4 * 2**20) // max(per_item, 1)))
-    tile_b = _pick_tile(b, tile_b)
+    # power-of-2 divisor of b only: odd tile counts (e.g. 14 at b=616) have
+    # crashed the Mosaic compiler, and pow2 tiles pack sublanes cleanly
+    while b % tile_b or tile_b & (tile_b - 1):
+        tile_b -= 1
     grid = (b // tile_b,)
     return pl.pallas_call(
         _make_batch_kernel(tile_b, h, w, w_pad, c),

@@ -46,3 +46,21 @@ def test_upsample2x_pallas_batched_matches_resize(shape):
     want = np.asarray(upsample2x_bilinear(x))
     got = np.asarray(upsample2x_bilinear_pallas_batched(x, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample2x_custom_vjp_matches_xla_grad():
+    """upsample2x_bilinear carries a custom_vjp (its TPU forward may be the
+    Pallas kernel); the backward must equal the XLA resize vjp exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from stylex_tpu.ops.blur import upsample2x_bilinear, upsample2x_bilinear_xla
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16), jnp.float32)
+
+    def loss(f):
+        return lambda v: jnp.sum(jnp.sin(f(v)) ** 2)
+
+    g1 = jax.grad(loss(upsample2x_bilinear))(x)
+    g2 = jax.grad(loss(upsample2x_bilinear_xla))(x)
+    assert jnp.allclose(g1, g2, atol=1e-6)
