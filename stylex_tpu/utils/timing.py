@@ -74,9 +74,18 @@ def _make_looped(fn: Callable, n: int, idx: int):
             a = list(args)
             a[idx] = base + s.astype(base.dtype) * eps
             out = fn(*a)
-            leaf = jax.tree.leaves(out)[-1]
-            probe = leaf.ravel()[0].astype(jnp.float32)
-            # value-dependent, non-DCE-able carrier update
+            # The carrier must consume EVERY output element NONLINEARLY:
+            # probing one element lets XLA push the slice through
+            # pad/elementwise/conv chains and dead-code-eliminate the rest
+            # of the op (observed: the XLA blur "ran" at 1.4 TB/s because
+            # only one output pixel was computed), and a plain sum of a
+            # LINEAR op's output can be folded into a reweighting of the
+            # input. sum(x^2) resists both; it adds one read pass over the
+            # output — identical for every variant under comparison.
+            probe = sum(
+                jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+                for leaf in jax.tree.leaves(out)
+            )
             return s + 1.0 + jnp.where(jnp.isnan(probe), 1e-3, 0.0)
 
         return lax.fori_loop(0, n, body, s0)
