@@ -47,22 +47,21 @@ def blur3(x: jax.Array) -> jax.Array:
     Matches the reference ``Blur`` module (kornia ``filter2d`` with
     ``normalized=True`` and reflect border, `stylex_train.py:144-153`).
 
-    On TPU the forward runs as the fused Pallas kernel
-    (:mod:`stylex_tpu.ops.pallas_blur` — bit-exact, ~5-19x faster than the
-    padded-separable XLA lowering); elsewhere (and under interpretation) the
-    XLA form is used. The op is linear, so the backward pass is the exact
-    XLA-derived vjp regardless of which forward ran.
+    On TPU the f32 forward runs as the fused Pallas kernel
+    (:mod:`stylex_tpu.ops.pallas_blur`, bit-exact); elsewhere (and under
+    interpretation) the XLA form is used. The op is linear, so the backward
+    pass is the exact XLA-derived vjp regardless of which forward ran.
 
     Args:
       x: (batch, H, W, C) feature map.
     """
     # Lane-dim DMA slices must cover whole 128-lane tiles; narrower channel
-    # counts (e.g. the 3-channel RGB skip) stay on the XLA path. bf16 stays
-    # on XLA by measurement, not by the round-1 Mosaic stall (that compiles
-    # fine now and is bit-exact): on v5e the full D fwd+bwd at 256px/b8 runs
-    # 1.26x FASTER with this kernel in f32 but 0.53x SLOWER in bf16 — XLA's
-    # 2-byte lowering already fuses the separable taps better than the
-    # explicit-DMA kernel's grid overhead can amortise.
+    # counts (e.g. the 3-channel RGB skip) stay on the XLA path. Dispatch is
+    # by measurement (docs/TIMING.md): honest slope-timed micro-benchmarks
+    # show the kernel ahead of XLA in f32 at D-path shapes and behind in
+    # bf16 (XLA's 2-byte lowering is near-roofline), and full-train-step
+    # A/B runs show the choice is performance-neutral at step granularity
+    # (the blur is a tiny fraction of a step) — so the f32 gate stands.
     if (
         jax.default_backend() == "tpu"
         and x.shape[-1] % 128 == 0
