@@ -201,46 +201,83 @@ class Generator(nn.Module):
         return sum(i + o for i, o in self.block_dims)
 
     @nn.compact
-    def __call__(self, styles, input_noise, style_delta: Optional[jax.Array] = None):
-        """Synthesise images.
+    def __call__(
+        self,
+        styles,
+        input_noise,
+        style_delta: Optional[jax.Array] = None,
+        start_block: int = 0,
+        initial_state: Optional[Tuple[jax.Array, Optional[jax.Array]]] = None,
+        capture_states: bool = False,
+    ):
+        """Synthesise images, optionally resuming from a cached block state.
+
+        A StyleSpace perturbation at block ``k`` cannot change anything
+        upstream of block ``k``, so AttFind sweeps can cache each image's
+        per-block entry state once and re-run only blocks ``k..end`` per
+        perturbation (the reference recomputes the full generator for every
+        one of its ~1.23M bias mutations, `run_attfind_combined.ipynb`
+        cell 5). ``capture_states=True`` returns the list of per-block
+        ``(x, rgb)`` entry pairs; ``start_block=k`` with
+        ``initial_state=(x_k, rgb_k)`` resumes there. Parameter names and
+        the default path are unchanged.
 
         Args:
           styles: (B, num_layers, latent_dim) per-layer w vectors.
           input_noise: (B, image_size, image_size, 1) uniform noise image.
           style_delta: optional (B, total_style_coords) additive StyleSpace
-            perturbation.
+            perturbation (full-width even when resuming; upstream slices
+            are ignored).
+          start_block: static index of the first synthesis block to run.
+          initial_state: the (x, rgb) entry state of ``start_block``
+            (required iff ``start_block > 0``).
+          capture_states: also return every block's entry state.
 
         Returns:
-          (rgb, style_coords): (B, S, S, 3[4]) image and
-          (B, total_style_coords) style coordinates.
+          (rgb, style_coords[, states]): the (B, S, S, 3[4]) image, the
+          (B, total_style_coords) style coordinates (blocks before
+          ``start_block`` zero-filled), and, when capturing, the list of
+          per-block (x, rgb) entry pairs.
         """
         block_dims = self.block_dims
         init_channels = block_dims[0][0]
         batch = styles.shape[0]
 
-        if self.no_const:
-            avg_style = jnp.mean(styles, axis=1)[:, None, None, :]
-            x = nn.ConvTranspose(
-                init_channels,
-                (4, 4),
-                strides=(1, 1),
-                padding="VALID",
-                use_bias=False,
-                kernel_init=kaiming_normal_leaky(),
-                name="to_initial_block",
-            )(avg_style)
+        if start_block == 0:
+            if self.no_const:
+                avg_style = jnp.mean(styles, axis=1)[:, None, None, :]
+                x = nn.ConvTranspose(
+                    init_channels,
+                    (4, 4),
+                    strides=(1, 1),
+                    padding="VALID",
+                    use_bias=False,
+                    kernel_init=kaiming_normal_leaky(),
+                    name="to_initial_block",
+                )(avg_style)
+            else:
+                initial = self.param(
+                    "initial_block", nn.initializers.normal(stddev=1.0), (1, 4, 4, init_channels)
+                )
+                x = jnp.broadcast_to(initial, (batch, 4, 4, init_channels)).astype(styles.dtype)
+
+            x = ConvTorch(init_channels, 3, padding=1, name="initial_conv")(x)
+            rgb = None
         else:
-            initial = self.param(
-                "initial_block", nn.initializers.normal(stddev=1.0), (1, 4, 4, init_channels)
-            )
-            x = jnp.broadcast_to(initial, (batch, 4, 4, init_channels)).astype(styles.dtype)
+            if initial_state is None:
+                raise ValueError("start_block > 0 requires initial_state=(x, rgb)")
+            x, rgb = initial_state
 
-        x = ConvTorch(init_channels, 3, padding=1, name="initial_conv")(x)
-
-        rgb = None
         coords = []
+        states = []
         offset = 0
         for ind, (in_chan, out_chan) in enumerate(block_dims):
+            if ind < start_block:
+                coords.append(jnp.zeros((batch, in_chan + out_chan), styles.dtype))
+                offset += in_chan + out_chan
+                continue
+            if capture_states:
+                states.append((x, rgb))
             num_layer = self.num_layers - ind
             istyle = styles[:, ind]
             if num_layer in self.attn_layers:
@@ -264,4 +301,7 @@ class Generator(nn.Module):
             )(x, rgb, istyle, input_noise, d1, d2)
             coords.append(block_coords)
 
-        return rgb, jnp.concatenate(coords, axis=-1)
+        out = (rgb, jnp.concatenate(coords, axis=-1))
+        if capture_states:
+            out += (states,)
+        return out

@@ -59,9 +59,11 @@ class StylExModules:
     def map_z(self, params, z, ema: bool = False):
         return self.S.apply({"params": params["SE" if ema else "S"]}, z)
 
-    def generate(self, params, w_styles, noise, style_delta=None, ema: bool = False):
+    def generate(self, params, w_styles, noise, style_delta=None, ema: bool = False,
+                 start_block: int = 0, initial_state=None, capture_states: bool = False):
         return self.G.apply(
-            {"params": params["GE" if ema else "G"]}, w_styles, noise, style_delta
+            {"params": params["GE" if ema else "G"]}, w_styles, noise, style_delta,
+            start_block, initial_state, capture_states
         )
 
     def discriminate(self, params, images, probabilities=None):
