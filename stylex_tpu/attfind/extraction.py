@@ -107,6 +107,69 @@ def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
     return jax.jit(sweep)
 
 
+def _capture_states(modules, params, cfg, w_all, noise, phase1_batch):
+    """Per-image generator block-entry states for the resume sweep (one full
+    forward per image, amortised over its ~2C perturbations)."""
+    @jax.jit
+    def cap(w):
+        w_styles = expand_styles(w, modules.num_layers)
+        noise_b = jnp.broadcast_to(noise, (w.shape[0],) + noise.shape[1:])
+        _, _, states = modules.generate(params, w_styles, noise_b, capture_states=True)
+        return states
+
+    chunks = [cap(w_all[s : s + phase1_batch]) for s in range(0, w_all.shape[0], phase1_batch)]
+    num_blocks = len(chunks[0])
+    out = []
+    for k in range(num_blocks):
+        x = jnp.concatenate([c[k][0] for c in chunks])
+        rgb = None if chunks[0][k][1] is None else jnp.concatenate([c[k][1] for c in chunks])
+        out.append((x, rgb))
+    return out
+
+
+def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
+                          shift_size: float, start_block: int, mesh=None):
+    """Like :func:`_make_sweep_fn` but resumes synthesis at ``start_block``
+    from per-image cached entry states: a perturbation at block k cannot
+    change blocks < k, so their recompute is skipped entirely (the
+    reference re-runs its full generator for every one of ~1.23M bias
+    mutations, `run_attfind_combined.ipynb` cell 5)."""
+
+    def sweep(x_state, rgb_state, w_all, noise, coords_all, minima, maxima,
+              base_all, img_idx, coord_idx, is_max):
+        extreme = jnp.where(is_max, maxima[coord_idx], minima[coord_idx])
+        current = coords_all[img_idx, coord_idx]
+        shift = (extreme - current) * shift_size
+        deltas = jax.nn.one_hot(coord_idx, num_coords, dtype=w_all.dtype) * shift[:, None]
+        w = w_all[img_idx]
+        n = coord_idx.shape[0]
+        w_styles = expand_styles(w, modules.num_layers)
+        noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
+        state = (
+            x_state[img_idx],
+            None if rgb_state is None else rgb_state[img_idx],
+        )
+        gen, _ = modules.generate(
+            params, w_styles, noise_b, style_delta=deltas,
+            start_block=start_block, initial_state=state,
+        )
+        logits = classifier_fn(gen)
+        return logits - base_all[img_idx]
+
+    if mesh is not None:
+        repl, flat = replicated(mesh), coordinate_sharding(mesh, ndim=1)
+        # block 0 has no incoming rgb: that argument is None (an empty
+        # pytree), whose sharding slot must be None as well
+        rgb_spec = repl if start_block > 0 else None
+        return jax.jit(
+            sweep,
+            in_shardings=(repl, rgb_spec, repl, repl, repl, repl, repl, repl,
+                          flat, flat, flat),
+            out_shardings=coordinate_sharding(mesh, ndim=2),
+        )
+    return jax.jit(sweep)
+
+
 def attfind_extraction(
     modules: StylExModules,
     params,
@@ -120,6 +183,7 @@ def attfind_extraction(
     phase1_batch: int = 64,
     mesh=None,
     progress: bool = True,
+    block_resume: bool = True,
 ) -> AttFindRecords:
     """Run the full AttFind extraction over a set of images.
 
@@ -134,6 +198,10 @@ def attfind_extraction(
       coord_batch: perturbations per jitted chunk (pad to multiple of the
         mesh size when sharded).
       mesh: optional Mesh to shard the perturbation axis across devices.
+      block_resume: group perturbations by generator block and resume
+        synthesis from cached per-image block states — skips recompute of
+        every block upstream of the perturbed coordinate (bit-identical
+        results; one jit per block instead of one total).
 
     Returns:
       :class:`AttFindRecords`.
@@ -171,46 +239,86 @@ def attfind_extraction(
     minima = coords_all.min(axis=0)
     maxima = coords_all.max(axis=0)
 
-    # ---- phase 2: flat cross-image perturbation sweep ---------------------
-    sweep = _make_sweep_fn(modules, params, classifier_fn, cfg, C, shift_size, mesh)
-
+    # ---- phase 2: perturbation sweep --------------------------------------
     # device-resident per-image state, shipped once
     w_dev = jnp.asarray(w_all)
     coords_dev = jnp.asarray(coords_all)
     min_dev, max_dev = jnp.asarray(minima), jnp.asarray(maxima)
     base_dev = jnp.asarray(logits_all)
 
-    # flat enumeration in (image, direction, coord) order so the result
-    # reshapes straight into style_change's (N, 2, C) layout
-    P = N * 2 * C
-    img_ids = np.repeat(np.arange(N, dtype=np.int32), 2 * C)
-    dir_ids = np.tile(np.repeat(np.array([0, 1], np.int32), C), N)
-    coord_ids = np.tile(np.arange(C, dtype=np.int32), 2 * N)
-    pad = (-P) % coord_batch
-    if pad:
-        img_ids = np.concatenate([img_ids, np.zeros(pad, np.int32)])
-        dir_ids = np.concatenate([dir_ids, np.zeros(pad, np.int32)])
-        coord_ids = np.concatenate([coord_ids, np.zeros(pad, np.int32)])
+    def _chunked(total, ids_builder, run_chunk, desc):
+        """Chunk a flat perturbation enumeration and collect effects."""
+        img_ids, dir_ids, coord_ids = ids_builder()
+        pad = (-total) % coord_batch
+        if pad:
+            img_ids = np.concatenate([img_ids, np.zeros(pad, np.int32)])
+            dir_ids = np.concatenate([dir_ids, np.zeros(pad, np.int32)])
+            coord_ids = np.concatenate([coord_ids, np.full(pad, coord_ids[0], np.int32)])
+        starts = range(0, total + pad, coord_batch)
+        if progress:
+            try:
+                import tqdm
 
-    starts = range(0, P + pad, coord_batch)
-    if progress:
-        try:
-            import tqdm
+                starts = tqdm.tqdm(starts, desc=desc)
+            except Exception:
+                pass
+        effects = []
+        for start in starts:
+            sl = slice(start, start + coord_batch)
+            effects.append(np.asarray(run_chunk(
+                jnp.asarray(img_ids[sl]), jnp.asarray(coord_ids[sl]),
+                jnp.asarray(dir_ids[sl]),
+            )))
+        return np.concatenate(effects)[:total]
 
-            starts = tqdm.tqdm(starts, desc="AttFind sweep (chunks)")
-        except Exception:
-            pass
+    if block_resume:
+        # group by generator block; resume from cached per-image states so
+        # blocks upstream of the perturbed coordinate are never recomputed
+        states = _capture_states(modules, params, cfg, w_dev, noise_j, phase1_batch)
+        block_dims = modules.G.block_dims
+        per_block = []
+        offset = 0
+        for k, (in_chan, out_chan) in enumerate(block_dims):
+            size_k = in_chan + out_chan
+            sweep_k = _make_resume_sweep_fn(
+                modules, params, classifier_fn, cfg, C, shift_size, k, mesh
+            )
+            x_st, rgb_st = states[k]
 
-    effects = []
-    for start in starts:
-        sl = slice(start, start + coord_batch)
-        out = sweep(
-            w_dev, noise_j, coords_dev, min_dev, max_dev, base_dev,
-            jnp.asarray(img_ids[sl]), jnp.asarray(coord_ids[sl]),
-            jnp.asarray(dir_ids[sl]),
-        )
-        effects.append(np.asarray(out))
-    style_change = np.concatenate(effects)[:P].reshape(N, 2, C, -1).astype(np.float32)
+            def ids_builder(size_k=size_k, offset=offset):
+                return (
+                    np.repeat(np.arange(N, dtype=np.int32), 2 * size_k),
+                    np.tile(np.repeat(np.array([0, 1], np.int32), size_k), N),
+                    np.tile(np.arange(offset, offset + size_k, dtype=np.int32), 2 * N),
+                )
+
+            def run_chunk(ii, ci, di, sweep_k=sweep_k, x_st=x_st, rgb_st=rgb_st):
+                return sweep_k(x_st, rgb_st, w_dev, noise_j, coords_dev,
+                               min_dev, max_dev, base_dev, ii, ci, di)
+
+            eff = _chunked(N * 2 * size_k, ids_builder, run_chunk,
+                           f"AttFind sweep (block {k})")
+            per_block.append(eff.reshape(N, 2, size_k, -1))
+            offset += size_k
+        style_change = np.concatenate(per_block, axis=2).astype(np.float32)
+    else:
+        sweep = _make_sweep_fn(modules, params, classifier_fn, cfg, C, shift_size, mesh)
+
+        def ids_builder():
+            # flat enumeration in (image, direction, coord) order so the
+            # result reshapes straight into style_change's (N, 2, C) layout
+            return (
+                np.repeat(np.arange(N, dtype=np.int32), 2 * C),
+                np.tile(np.repeat(np.array([0, 1], np.int32), C), N),
+                np.tile(np.arange(C, dtype=np.int32), 2 * N),
+            )
+
+        def run_chunk(ii, ci, di):
+            return sweep(w_dev, noise_j, coords_dev, min_dev, max_dev, base_dev,
+                         ii, ci, di)
+
+        eff = _chunked(N * 2 * C, ids_builder, run_chunk, "AttFind sweep (chunks)")
+        style_change = eff.reshape(N, 2, C, -1).astype(np.float32)
 
     return AttFindRecords(
         style_change=style_change,

@@ -230,7 +230,9 @@ class Generator(nn.Module):
             are ignored).
           start_block: static index of the first synthesis block to run.
           initial_state: the (x, rgb) entry state of ``start_block``
-            (required iff ``start_block > 0``).
+            (required when ``start_block > 0``; at ``start_block == 0`` it
+            replaces the constant-input + initial_conv stem, letting
+            sweeps skip even that recompute).
           capture_states: also return every block's entry state.
 
         Returns:
@@ -243,7 +245,9 @@ class Generator(nn.Module):
         init_channels = block_dims[0][0]
         batch = styles.shape[0]
 
-        if start_block == 0:
+        if initial_state is not None:
+            x, rgb = initial_state
+        elif start_block == 0:
             if self.no_const:
                 avg_style = jnp.mean(styles, axis=1)[:, None, None, :]
                 x = nn.ConvTranspose(
@@ -264,9 +268,7 @@ class Generator(nn.Module):
             x = ConvTorch(init_channels, 3, padding=1, name="initial_conv")(x)
             rgb = None
         else:
-            if initial_state is None:
-                raise ValueError("start_block > 0 requires initial_state=(x, rgb)")
-            x, rgb = initial_state
+            raise ValueError("start_block > 0 requires initial_state=(x, rgb)")
 
         coords = []
         states = []

@@ -121,3 +121,18 @@ def test_filter_unstable_images():
     out = filter_unstable_images(eff, effect_threshold=0.3, num_indices_threshold=150)
     assert out[1].sum() == 0.0
     assert (out[0] == eff[0]).all()
+
+
+def test_block_resume_matches_flat_sweep(tiny_setup, records):
+    """The block-grouped resume sweep (default) must reproduce the flat
+    full-recompute sweep exactly — same effects, same layout."""
+    cfg, modules, params, clf_fn, images, noise = tiny_setup
+    flat = attfind_extraction(
+        modules, params, clf_fn, images, noise, coord_batch=64, progress=False,
+        block_resume=False,
+    )
+    np.testing.assert_allclose(
+        records.style_change, flat.style_change, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(records.latents, flat.latents)
+    np.testing.assert_array_equal(records.base_prob, flat.base_prob)
