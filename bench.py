@@ -107,6 +107,45 @@ def bench_attfind(image_size: int, coord_batch: int, dtype):
     return styles_per_sec, mfu
 
 
+def bench_attfind_resume(image_size: int, coord_batch: int, dtype):
+    """Aggregate throughput of the SHIPPING block-resume sweep: per-block
+    chunk latencies (slope-timed) weighted by each block's perturbation
+    count, padding included (N=4 resident images, as above)."""
+    from stylex_tpu.attfind.extraction import _capture_states, _make_resume_sweep_fn
+
+    cfg, modules, params, clf = _build(image_size, dtype)
+    C = modules.total_style_coords
+    N = 4
+    key = jax.random.PRNGKey(1)
+    w_all = jax.random.normal(key, (N, cfg.latent_dim), dtype)
+    noise = jax.random.uniform(key, (1, image_size, image_size, 1), dtype)
+    coords_all = jax.random.normal(key, (N, C), dtype)
+    minima = coords_all.min(0) - 0.5
+    maxima = coords_all.max(0) + 0.5
+    base = jnp.zeros((N, cfg.num_classes), dtype)
+
+    states = _capture_states(modules, params, cfg, w_all, noise, 64)
+    total_t, total_p, offset = 0.0, 0, 0
+    for k, (i, o) in enumerate(modules.G.block_dims):
+        size_k = i + o
+        sweep_k = _make_resume_sweep_fn(
+            modules, params, clf.classify_images, cfg, C, 1.0, k, None
+        )
+        x_st, rgb_st = states[k]
+        args = [
+            x_st, rgb_st, w_all, noise, coords_all, minima, maxima, base,
+            jnp.asarray(np.arange(coord_batch, dtype=np.int32) % N),
+            jnp.asarray(offset + np.arange(coord_batch, dtype=np.int32) % size_k),
+            jnp.asarray(np.arange(coord_batch, dtype=np.int32) % 2),
+        ]
+        t = measure_op(sweep_k, args, n_pair=(4, 16))
+        p_k = N * 2 * size_k
+        total_t += -(-p_k // coord_batch) * t.seconds
+        total_p += p_k
+        offset += size_k
+    return total_p / total_t
+
+
 def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
                      remat: bool):
     """Slope-time the full jitted train step (both phases, optimizers, EMA)."""
@@ -162,6 +201,13 @@ def main() -> None:
                 extras["attfind256_mfu"] = round(mfu, 4)
         except Exception:
             traceback.print_exc(file=sys.stderr)
+
+    try:
+        extras["attfind64_resume_styles_per_sec"] = round(
+            bench_attfind_resume(64, coord_batch=616, dtype=dtype), 1
+        )
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
 
     for label, fn in (
         ("train64_imgs_per_sec",

@@ -262,14 +262,17 @@ def attfind_extraction(
                 starts = tqdm.tqdm(starts, desc=desc)
             except Exception:
                 pass
+        # keep chunk outputs on device and fetch ONCE: a per-chunk host
+        # round-trip costs more than the chunk's compute on a relayed TPU
+        # (docs/TIMING.md), and each chunk is only a few KB
         effects = []
         for start in starts:
             sl = slice(start, start + coord_batch)
-            effects.append(np.asarray(run_chunk(
+            effects.append(run_chunk(
                 jnp.asarray(img_ids[sl]), jnp.asarray(coord_ids[sl]),
                 jnp.asarray(dir_ids[sl]),
-            )))
-        return np.concatenate(effects)[:total]
+            ))
+        return np.asarray(jnp.concatenate(effects)[:total])
 
     if block_resume:
         # group by generator block; resume from cached per-image states so
