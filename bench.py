@@ -37,8 +37,14 @@ import numpy as np
 from stylex_tpu.utils.timing import measure_chained, measure_op
 
 BASELINE_STYLES_PER_SEC = 68.0
-# TPU v5e peak: ~197 TFLOP/s bf16 (half that for fp32)
-PEAK_FLOPS = float(os.environ.get("STYLEX_PEAK_FLOPS", 197e12))
+# TPU v5e peak: ~197 TFLOP/s bf16, half that for fp32
+
+
+def _peak_flops(dtype) -> float:
+    env = os.environ.get("STYLEX_PEAK_FLOPS")
+    if env:
+        return float(env)
+    return 197e12 if dtype == jnp.bfloat16 else 98.5e12
 
 
 def _cast_tree(t, dtype):
@@ -63,15 +69,11 @@ def _build(image_size: int, dtype):
     return cfg, modules, params, clf
 
 
-def bench_attfind(image_size: int, coord_batch: int, dtype):
-    """Slope-time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
-    from stylex_tpu.attfind.extraction import _make_sweep_fn
-
+def _sweep_inputs(image_size: int, dtype, N: int = 4):
+    """Shared device-resident inputs for the flat and resume sweep benches
+    (N images resident, synthetic latents/coords)."""
     cfg, modules, params, clf = _build(image_size, dtype)
     C = modules.total_style_coords
-    N = 4  # images resident on device
-
-    sweep = _make_sweep_fn(modules, params, clf.classify_images, cfg, C, 1.0, None)
     key = jax.random.PRNGKey(1)
     w_all = jax.random.normal(key, (N, cfg.latent_dim), dtype)
     noise = jax.random.uniform(key, (1, image_size, image_size, 1), dtype)
@@ -79,6 +81,17 @@ def bench_attfind(image_size: int, coord_batch: int, dtype):
     minima = coords_all.min(0) - 0.5
     maxima = coords_all.max(0) + 0.5
     base = jnp.zeros((N, cfg.num_classes), dtype)
+    return cfg, modules, params, clf, C, (w_all, noise, coords_all, minima, maxima, base)
+
+
+def bench_attfind(image_size: int, coord_batch: int, dtype):
+    """Slope-time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
+    from stylex_tpu.attfind.extraction import _make_sweep_fn
+
+    N = 4  # images resident on device
+    cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N)
+    w_all, noise, coords_all, minima, maxima, base = heavy
+    sweep = _make_sweep_fn(modules, params, clf.classify_images, cfg, C, 1.0, None)
 
     img_ids = jnp.asarray(np.arange(coord_batch, dtype=np.int32) % N)
     coord_ids = jnp.asarray(np.arange(coord_batch, dtype=np.int32) % C)
@@ -101,7 +114,7 @@ def bench_attfind(image_size: int, coord_batch: int, dtype):
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(cost.get("flops", 0.0))
             if flops > 0:
-                mfu = flops / t.seconds / PEAK_FLOPS
+                mfu = flops / t.seconds / _peak_flops(dtype)
     except Exception:
         pass
     return styles_per_sec, mfu
@@ -113,17 +126,9 @@ def bench_attfind_resume(image_size: int, coord_batch: int, dtype):
     count, padding included (N=4 resident images, as above)."""
     from stylex_tpu.attfind.extraction import _capture_states, _make_resume_sweep_fn
 
-    cfg, modules, params, clf = _build(image_size, dtype)
-    C = modules.total_style_coords
     N = 4
-    key = jax.random.PRNGKey(1)
-    w_all = jax.random.normal(key, (N, cfg.latent_dim), dtype)
-    noise = jax.random.uniform(key, (1, image_size, image_size, 1), dtype)
-    coords_all = jax.random.normal(key, (N, C), dtype)
-    minima = coords_all.min(0) - 0.5
-    maxima = coords_all.max(0) + 0.5
-    base = jnp.zeros((N, cfg.num_classes), dtype)
-
+    cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N)
+    w_all, noise, coords_all, minima, maxima, base = heavy
     states = _capture_states(modules, params, cfg, w_all, noise, 64)
     total_t, total_p, offset = 0.0, 0, 0
     for k, (i, o) in enumerate(modules.G.block_dims):

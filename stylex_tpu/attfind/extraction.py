@@ -302,6 +302,13 @@ def attfind_extraction(
             eff = _chunked(N * 2 * size_k, ids_builder, run_chunk,
                            f"AttFind sweep (block {k})")
             per_block.append(eff.reshape(N, 2, size_k, -1))
+            # states[k] is dead after its block: free the device buffers so
+            # peak residency is one block's states, not all of them (at
+            # 256px the full set is ~15 MB/image)
+            states[k] = None
+            x_st.delete()
+            if rgb_st is not None:
+                rgb_st.delete()
             offset += size_k
         style_change = np.concatenate(per_block, axis=2).astype(np.float32)
     else:

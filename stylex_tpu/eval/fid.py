@@ -73,10 +73,25 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
         out = linalg.sqrtm(m)  # scipy >= 1.16: no `disp`, returns the matrix
         return out[0] if isinstance(out, tuple) else out
 
+    def _is_rank_deficient(c):
+        try:
+            linalg.cholesky(c, lower=True)
+            return False
+        except linalg.LinAlgError:
+            return True
+
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", linalg.LinAlgWarning)
-        covmean = _sqrtm(cov1 @ cov2)
         jitter = eps
+        if _is_rank_deficient(cov1) or _is_rank_deficient(cov2):
+            # preemptive: sqrtm of a singular product often returns finite
+            # but inaccurate values, which the finiteness check below would
+            # wave through
+            offset = np.eye(cov1.shape[0]) * jitter
+            covmean = _sqrtm((cov1 + offset) @ (cov2 + offset))
+            jitter *= 100.0
+        else:
+            covmean = _sqrtm(cov1 @ cov2)
         while not np.isfinite(covmean).all() and jitter < 1e2:
             offset = np.eye(cov1.shape[0]) * jitter
             covmean = _sqrtm((cov1 + offset) @ (cov2 + offset))

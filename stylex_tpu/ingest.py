@@ -34,7 +34,12 @@ from pathlib import Path
 import numpy as np
 
 
-def _save_msgpack(tree, out: str) -> None:
+def save_msgpack_tree(tree, out: str) -> int:
+    """Serialize a pytree (state-dict form, host numpy) to ``out``.
+
+    The one shared msgpack writer — ClassifierTrainer.save and the ingest
+    CLI both use it so the on-disk format cannot drift.
+    """
     import jax
     from flax import serialization
 
@@ -43,7 +48,12 @@ def _save_msgpack(tree, out: str) -> None:
         jax.tree.map(lambda x: np.asarray(x), serialization.to_state_dict(tree))
     )
     Path(out).write_bytes(payload)
-    print(f"wrote {out} ({len(payload) / 1e6:.1f} MB)")
+    return len(payload)
+
+
+def _save_msgpack(tree, out: str) -> None:
+    size = save_msgpack_tree(tree, out)
+    print(f"wrote {out} ({size / 1e6:.1f} MB)")
 
 
 def load_msgpack_tree(path: str):

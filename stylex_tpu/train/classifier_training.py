@@ -253,14 +253,9 @@ class ClassifierTrainer:
 
     # ------------------------------------------------------------- persistence
     def save(self, path: str) -> None:
-        from flax import serialization
+        from stylex_tpu.ingest import save_msgpack_tree
 
-        Path(path).parent.mkdir(parents=True, exist_ok=True)
-        Path(path).write_bytes(
-            serialization.msgpack_serialize(
-                jax.tree.map(lambda x: np.asarray(x), serialization.to_state_dict(self.variables))
-            )
-        )
+        save_msgpack_tree(self.variables, path)
 
     def load(self, path: str) -> None:
         from flax import serialization
