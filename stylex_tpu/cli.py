@@ -105,6 +105,7 @@ def train_from_folder(
     use_old_architecture: bool = True,
     num_devices: Optional[int] = None,
     bf16: bool = False,
+    remat: bool = False,
 ) -> None:
     """Train (or run eval-only modes for) a StylEx model from an image folder."""
     from stylex_tpu.train.trainer import NanException, Trainer
@@ -130,6 +131,9 @@ def train_from_folder(
         encoder_class=encoder_class,
         fq_layers=tuple(cast_list(fq_layers)),
         fq_dict_size=fq_dict_size,
+        # rematerialise generator blocks in the backward pass — the
+        # standard high-resolution (256px+) memory/FLOP trade
+        remat=remat,
     )
     train_cfg = TrainConfig(
         batch_size=batch_size,
