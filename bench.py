@@ -180,7 +180,24 @@ def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
         return new_state
 
     t = measure_chained(chained, state, n_pair=(1, 4) if image_size >= 256 else (2, 8))
-    return batch * accum / t.seconds, t.seconds
+
+    mfu = None
+    try:
+        compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+        cost = (
+            jax.jit(step)
+            .lower(state, batch_d, jax.random.PRNGKey(3))
+            .compile()
+            .cost_analysis()
+        )
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                mfu = flops / t.seconds / _peak_flops(compute_dtype)
+    except Exception:
+        pass
+    return batch * accum / t.seconds, t.seconds, mfu
 
 
 def main() -> None:
@@ -222,9 +239,11 @@ def main() -> None:
                                   remat=True)),
     ):
         try:
-            v, dt = fn()
+            v, dt, mfu = fn()
             extras[label] = round(v, 2)
             extras[label.replace("imgs_per_sec", "step_seconds")] = round(dt, 4)
+            if mfu is not None:
+                extras[label.replace("imgs_per_sec", "mfu")] = round(mfu, 4)
         except Exception:
             traceback.print_exc(file=sys.stderr)
 
