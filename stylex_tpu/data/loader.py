@@ -21,7 +21,14 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["StepBatchLoader", "balanced_class_weights", "SampleLoader"]
+__all__ = ["StepBatchLoader", "balanced_class_weights", "SampleLoader", "as_float01"]
+
+
+def as_float01(batch: np.ndarray) -> np.ndarray:
+    """Undo the loader's uint8 transfer quantization (no-op for float)."""
+    if batch.dtype == np.uint8:
+        return batch.astype(np.float32) / 255.0
+    return batch
 
 
 def balanced_class_weights(labels: Sequence[int], num_classes: int) -> np.ndarray:
@@ -33,10 +40,18 @@ def balanced_class_weights(labels: Sequence[int], num_classes: int) -> np.ndarra
 
 
 class SampleLoader:
-    """Infinite shuffled sample stream with threaded decode-ahead."""
+    """Infinite shuffled sample stream with threaded decode-ahead.
+
+    ``quantize=True`` ships batches as uint8 (images are 8-bit at rest;
+    the augmentation chain's interpolated values re-quantize losslessly to
+    the eye) and the jitted train step normalises on device — 4x less
+    host->device PCIe/relay traffic than float32, the standard TPU input
+    pipeline shape.
+    """
 
     def __init__(self, dataset, batch_size: int, seed: int = 0, num_workers: int = 8,
-                 weights: Optional[np.ndarray] = None, prefetch: int = 4):
+                 weights: Optional[np.ndarray] = None, prefetch: int = 4,
+                 quantize: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
@@ -44,6 +59,7 @@ class SampleLoader:
         if weights is not None:
             w = np.asarray(weights, np.float64)
             self.weights = w / w.sum()
+        self.quantize = quantize
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -61,6 +77,8 @@ class SampleLoader:
             idx = self._draw_indices()
             futures = [self.pool.submit(self.dataset.__getitem__, int(i)) for i in idx]
             batch = np.stack([f.result() for f in futures]).astype(np.float32)
+            if self.quantize:
+                batch = np.clip(batch * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
             try:
                 self.queue.put(batch, timeout=60.0)
             except queue.Full:

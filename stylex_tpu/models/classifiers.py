@@ -44,6 +44,10 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def imagenet_normalize(x: jax.Array) -> jax.Array:
+    """(x - mean) / std per channel; accepts [0,1] floats or the loader's
+    quantized uint8 transfer format (normalised on device)."""
+    if jnp.issubdtype(x.dtype, jnp.unsignedinteger):
+        x = x.astype(jnp.float32) / 255.0
     mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
     std = jnp.asarray(IMAGENET_STD, x.dtype)
     return (x - mean) / std

@@ -388,6 +388,14 @@ def make_train_step(
 
     # ------------------------------------------------------------ full step
     def train_step(state: StylExTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        # uint8 batches (the loader's quantized transfer format — 4x less
+        # host->device traffic) are normalised to [0,1] on device; float
+        # batches pass through unchanged (tests/benches feed those)
+        batch = {
+            k: v.astype(compute_dtype) / 255.0
+            if jnp.issubdtype(v.dtype, jnp.unsignedinteger) else v
+            for k, v in batch.items()
+        }
         params = state.params
         step = state.step
         apply_gp = step % tc.gp_every == 0

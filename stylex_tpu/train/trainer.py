@@ -35,7 +35,7 @@ import numpy as np
 
 from stylex_tpu.config import Arch, ModelConfig, TrainConfig
 from stylex_tpu.data.dataset import FolderDataset
-from stylex_tpu.data.loader import StepBatchLoader, balanced_class_weights
+from stylex_tpu.data.loader import StepBatchLoader, as_float01, balanced_class_weights
 from stylex_tpu.data.mnist import MNIST1vA, SyntheticImageDataset
 from stylex_tpu.models.classifiers import build_classifier
 from stylex_tpu.models.lpips import init_lpips_params, convert_lpips_state_dict
@@ -355,7 +355,7 @@ class Trainer:
             # encoder round-trip grids: truncated encoder w, with the real
             # batch concatenated above the reconstructions
             # (`evaluate`, `:1528-1551`)
-            batch = jnp.asarray(next(self.loader.sample_loader))
+            batch = jnp.asarray(as_float01(next(self.loader.sample_loader)))
             enc_rows = batch.shape[0]
             enc_noise = image_noise(k_noise, enc_rows, cfg.image_size)
             logits = self.classifier.classify_images(batch)
@@ -458,7 +458,7 @@ class Trainer:
 
         def real_batches():
             for _ in range(num_batches):
-                yield np.asarray(next(self.loader.sample_loader))
+                yield as_float01(np.asarray(next(self.loader.sample_loader)))
 
         def fake_batches():
             for i in range(num_batches):

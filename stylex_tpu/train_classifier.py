@@ -18,13 +18,19 @@ import numpy as np
 
 
 def labeled_batches(view, batch_size: int, seed: int = 42, shuffle: bool = True):
-    """Yield (images, labels) numpy batches from a labeled dataset view."""
+    """Yield (images, labels) numpy batches from a labeled dataset view.
+
+    Images ship as uint8 (4x less host->device traffic than float32 —
+    decisive at 256px); ``imagenet_normalize`` dequantises on device.
+    """
     n = len(view)
     order = np.random.RandomState(seed).permutation(n) if shuffle else np.arange(n)
     for start in range(0, n - batch_size + 1, batch_size):
         idx = order[start : start + batch_size]
         samples = [view[int(i)] for i in idx]
         images = np.stack([s[0] for s in samples])
+        if images.dtype != np.uint8:
+            images = np.clip(images * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
         labels = np.asarray([s[1] for s in samples], np.int32)
         yield images, labels
 

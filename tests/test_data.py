@@ -134,3 +134,50 @@ def test_ffhq_adapter(tmp_path):
     assert len(ds) == 4
     img, label = ds[1]
     assert img.shape == (16, 16, 3) and label == 1
+
+
+def test_loader_uint8_transfer_roundtrip(image_folder):
+    """The loader ships uint8 (4x less host->device traffic); as_float01
+    must restore [0,1] floats within quantization error, and quantize=False
+    must keep the old float32 contract."""
+    from stylex_tpu.data.loader import as_float01
+
+    ds = FolderDataset(str(image_folder), 16)
+    q = SampleLoader(ds, 4, seed=0, num_workers=2)
+    f = SampleLoader(ds, 4, seed=0, num_workers=2, quantize=False)
+    bq, bf = next(q), next(f)
+    q.close(), f.close()
+    assert bq.dtype == np.uint8 and bf.dtype == np.float32
+    assert np.abs(as_float01(bq) - bf).max() <= 0.5 / 255 + 1e-7
+    assert as_float01(bf) is bf
+
+
+def test_train_step_accepts_uint8_batch():
+    """A quantized uint8 batch must train identically to its dequantized
+    float batch (on-device normalisation in train_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stylex_tpu.config import ModelConfig, TrainConfig
+    from stylex_tpu.models import build_stylex
+    from stylex_tpu.models.classifiers import build_classifier
+    from stylex_tpu.models.lpips import init_lpips_params
+    from stylex_tpu.train.state import create_train_state
+    from stylex_tpu.train.steps import make_train_step
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=1, aug_prob=0.0)
+    modules = build_stylex(cfg)
+    state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+
+    rng = np.random.default_rng(0)
+    u8 = {k: rng.integers(0, 256, (1, 2, 16, 16, 3), dtype=np.uint8)
+          for k in ("d_real", "d_enc", "g_imgs")}
+    f32 = {k: (v.astype(np.float32) / 255.0) for k, v in u8.items()}
+    _, m_u8 = step(state, {k: jnp.asarray(v) for k, v in u8.items()}, jax.random.PRNGKey(3))
+    _, m_f32 = step(state, {k: jnp.asarray(v) for k, v in f32.items()}, jax.random.PRNGKey(3))
+    for k in m_f32:
+        np.testing.assert_allclose(float(m_u8[k]), float(m_f32[k]), rtol=1e-5, atol=1e-6)
