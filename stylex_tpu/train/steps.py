@@ -389,10 +389,12 @@ def make_train_step(
     # ------------------------------------------------------------ full step
     def train_step(state: StylExTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         # uint8 batches (the loader's quantized transfer format — 4x less
-        # host->device traffic) are normalised to [0,1] on device; float
-        # batches pass through unchanged (tests/benches feed those)
+        # host->device traffic) are normalised to [0,1] float32 on device;
+        # float batches pass through unchanged. Dequantised to f32 (not
+        # compute_dtype): the per-site cast() calls below own the bf16
+        # conversion, and e.g. the gradient penalty runs on f32 images.
         batch = {
-            k: v.astype(compute_dtype) / 255.0
+            k: v.astype(jnp.float32) / 255.0
             if jnp.issubdtype(v.dtype, jnp.unsignedinteger) else v
             for k, v in batch.items()
         }

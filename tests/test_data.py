@@ -181,3 +181,33 @@ def test_train_step_accepts_uint8_batch():
     _, m_f32 = step(state, {k: jnp.asarray(v) for k, v in f32.items()}, jax.random.PRNGKey(3))
     for k in m_f32:
         np.testing.assert_allclose(float(m_u8[k]), float(m_f32[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_accepts_uint8_batch_bf16():
+    """The uint8 path must also work under the bf16 step (regression: the
+    dequantised images must stay f32 so the GP lax.cond branches agree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stylex_tpu.config import ModelConfig, TrainConfig
+    from stylex_tpu.models import build_stylex
+    from stylex_tpu.models.classifiers import build_classifier
+    from stylex_tpu.models.lpips import init_lpips_params
+    from stylex_tpu.train.state import create_train_state
+    from stylex_tpu.train.steps import make_train_step
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=1, aug_prob=0.0,
+                     compute_dtype="bfloat16")
+    modules = build_stylex(cfg)
+    state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+
+    rng = np.random.default_rng(0)
+    u8 = {k: jnp.asarray(rng.integers(0, 256, (1, 2, 16, 16, 3), dtype=np.uint8))
+          for k in ("d_real", "d_enc", "g_imgs")}
+    _, metrics = step(state, u8, jax.random.PRNGKey(3))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
