@@ -17,8 +17,12 @@ python scripts/make_synthetic_dataset.py --out $DATA --per-class 2048 --seed 42 
   > $LOG/data.log 2>&1 || { echo DATA_FAILED; exit 1; }
 
 step "2/6 classifier pretraining (mobilenet, 64px)"
+# --amount-frozen-layers 0: the reference freezes most of an ImageNet-
+# pretrained trunk; offline we init randomly, so a frozen trunk would be
+# random features — train it all
 python -m stylex_tpu.train_classifier --dataset PlantVillage --data-root $DATA \
   --model mobilenet --image-size 64 --epochs 5 --batch-size 64 --lr 1e-3 \
+  --amount-frozen-layers 0 \
   --checkpoint-name synth64_mobilenet.msgpack --saved-models-dir runs/models \
   --results-dir $LOG/classifier --tensorboard-dir $LOG/tb_clf \
   > $LOG/classifier.log 2>&1 || { echo CLASSIFIER_FAILED; exit 1; }

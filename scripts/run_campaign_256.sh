@@ -18,8 +18,10 @@ python scripts/make_synthetic_dataset.py --out $DATA --size 256 --per-class 512 
   --seed 7 > $LOG/data.log 2>&1 || { echo DATA_FAILED; exit 1; }
 
 step "2/3 classifier pretraining (mobilenet, 256px)"
+# frozen-random-trunk hazard: see run_campaign.sh — train all layers
 python -m stylex_tpu.train_classifier --dataset PlantVillage --data-root $DATA \
   --model mobilenet --image-size 256 --epochs 3 --batch-size 32 --lr 1e-3 \
+  --amount-frozen-layers 0 \
   --checkpoint-name synth256_mobilenet.msgpack --saved-models-dir runs/models \
   --results-dir $LOG/classifier --tensorboard-dir $LOG/tb_clf \
   > $LOG/classifier.log 2>&1 || { echo CLASSIFIER_FAILED; tail -20 $LOG/classifier.log; exit 1; }
