@@ -37,6 +37,9 @@ def main(argv=None) -> None:
     p.add_argument("--discriminator-threshold", type=float, default=None)
     p.add_argument("--use-discriminator", action="store_true")
     p.add_argument("--coord-batch", type=int, default=512)
+    p.add_argument("--no-block-resume", action="store_true",
+                   help="use the flat full-recompute sweep instead of the "
+                        "block-resume sweep (debug/A-B escape hatch)")
     p.add_argument("--results-folder", default="./attfind_results")
     p.add_argument("--visualize-top", type=int, default=0,
                    help="render counterfactual panels for the top-N styles")
@@ -92,6 +95,7 @@ def main(argv=None) -> None:
         use_discriminator=args.use_discriminator,
         coord_batch=args.coord_batch,
         mesh=trainer.mesh if len(trainer.mesh.devices.flat) > 1 else None,
+        block_resume=not args.no_block_resume,
     )
     dt = time.perf_counter() - t0
     total_styles = records.style_change.shape[0] * 2 * records.style_change.shape[2]
