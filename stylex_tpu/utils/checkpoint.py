@@ -53,6 +53,25 @@ def latest_checkpoint(models_dir: str, name: str) -> Optional[Tuple[int, str]]:
 
 
 def load_checkpoint(path: str, state_template):
-    """Restore into a template pytree (shapes/dtypes must match)."""
+    """Restore into a template pytree (shapes/dtypes must match).
+
+    Leaves come back as committed device arrays with the template's dtype
+    and sharding — ``from_state_dict`` alone returns host numpy arrays,
+    which silently disable ``donate_argnums`` on the jitted train step and
+    change its compile options, forcing a full recompile on every resume
+    (observed: a 37-minute remote recompile of an already-cached step).
+    """
+    import jax
+    import jax.numpy as jnp
+
     payload = serialization.msgpack_restore(Path(path).read_bytes())
-    return serialization.from_state_dict(state_template, payload["state"])
+    restored = serialization.from_state_dict(state_template, payload["state"])
+
+    def place(t, v):
+        if not hasattr(t, "dtype"):
+            return v
+        arr = jnp.asarray(v, getattr(t, "dtype", None))
+        sharding = getattr(t, "sharding", None)
+        return jax.device_put(arr, sharding) if sharding is not None else arr
+
+    return jax.tree.map(place, state_template, restored)

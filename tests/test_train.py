@@ -114,3 +114,18 @@ def test_checkpoint_roundtrip(tiny_train, tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     assert int(restored.step) == int(state.step)
+
+
+def test_checkpoint_restore_returns_device_arrays(tiny_train, tmp_path):
+    """Restored leaves must be committed jax arrays (template dtype +
+    sharding), not host numpy — numpy leaves silently disable state
+    donation on the jitted step and force a resume-time recompile."""
+    cfg, tc, modules, state, step, batch = tiny_train
+    from stylex_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = save_checkpoint(str(tmp_path), "t", 1, state)
+    restored = load_checkpoint(p, state)
+    for t, v in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        if hasattr(t, "dtype"):
+            assert isinstance(v, jax.Array), type(v)
+            assert v.dtype == t.dtype
