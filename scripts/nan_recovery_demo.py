@@ -17,6 +17,9 @@ import sys
 import tempfile
 from pathlib import Path
 
+# runnable as `python scripts/nan_recovery_demo.py` from the repo root
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -265,7 +265,11 @@ class Trainer:
                 f"NaN detected for generator or discriminator. "
                 f"Loading from checkpoint #{self.checkpoint_num}"
             )
-            self.load(self.checkpoint_num)
+            # load the latest checkpoint that actually exists: at a save
+            # boundary steps//save_every names a checkpoint that was never
+            # written (the reference's `load(self.checkpoint_num)` crashes
+            # there, `stylex_train.py:1481-1486`)
+            self.load(-1)
             raise NanException
 
         self.logger.log(step, metrics)
