@@ -248,7 +248,11 @@ def build_classifier(
         model = ResNet18(num_classes=num_classes)
     else:
         model = MobileNetV2(num_classes=num_classes)
-    variables = model.init(rng if rng is not None else jax.random.PRNGKey(0), dummy)
+    from stylex_tpu.utils.device import init_on_host
+
+    variables = init_on_host(
+        lambda k: model.init(k, dummy), rng if rng is not None else jax.random.PRNGKey(0)
+    )
     if checkpoint_path is not None:
         if str(checkpoint_path).endswith((".msgpack", ".mp")):
             # native format written by ClassifierTrainer.save

@@ -107,19 +107,27 @@ def lpips_distance(params: Dict[str, Any], x: jax.Array, y: jax.Array) -> jax.Ar
 
 
 def init_lpips_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
-    """Seeded random backbone + uniform taps (offline fallback)."""
-    params: Dict[str, Any] = {}
-    in_ch = 3
-    for i, (out_ch, k, _, _) in enumerate(LPIPS_CFG):
-        key, kw = jax.random.split(key)
-        fan_in = in_ch * k * k
-        params[f"conv{i}"] = {
-            "kernel": jax.random.normal(kw, (k, k, in_ch, out_ch), dtype) * np.sqrt(2.0 / fan_in),
-            "bias": jnp.zeros((out_ch,), dtype),
-        }
-        params[f"lin{i}"] = jnp.full((out_ch,), 1.0 / out_ch, dtype)
-        in_ch = out_ch
-    return params
+    """Seeded random backbone + uniform taps (offline fallback). Built as
+    one host-side program (utils/device.py) to avoid per-shape remote
+    compiles through the TPU relay."""
+    from stylex_tpu.utils.device import init_on_host
+
+    def build(k):
+        params: Dict[str, Any] = {}
+        in_ch = 3
+        for i, (out_ch, ksz, _, _) in enumerate(LPIPS_CFG):
+            k, kw = jax.random.split(k)
+            fan_in = in_ch * ksz * ksz
+            params[f"conv{i}"] = {
+                "kernel": jax.random.normal(kw, (ksz, ksz, in_ch, out_ch), dtype)
+                * np.sqrt(2.0 / fan_in),
+                "bias": jnp.zeros((out_ch,), dtype),
+            }
+            params[f"lin{i}"] = jnp.full((out_ch,), 1.0 / out_ch, dtype)
+            in_ch = out_ch
+        return params
+
+    return init_on_host(build, key)
 
 
 def convert_lpips_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:

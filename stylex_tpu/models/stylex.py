@@ -114,35 +114,58 @@ def build_stylex(cfg: ModelConfig) -> StylExModules:
     return StylExModules(cfg=cfg, encoder=encoder, S=S, G=G, D=D)
 
 
-def init_stylex_params(key: jax.Array, modules: StylExModules) -> Params:
+def init_stylex_params(
+    key: jax.Array, modules: StylExModules, dtype=None
+) -> Params:
     """Initialise all parameter trees; EMA copies start equal to the live
-    nets (``reset_parameter_averaging``, `stylex_train.py:994-996`)."""
+    nets (``reset_parameter_averaging``, `stylex_train.py:994-996`).
+
+    Runs as ONE jitted program on the host CPU and transfers the finished
+    tree once (``utils.device.init_on_host``): eager per-op init through
+    the TPU relay costs minutes of remote compiles. ``dtype`` optionally
+    casts float32 leaves inside the same program.
+    """
+    from stylex_tpu.utils.device import init_on_host
+
+    return init_on_host(
+        lambda k: build_stylex_params(k, modules), key, dtype=dtype
+    )
+
+
+def build_stylex_params(key: jax.Array, modules: StylExModules) -> Params:
+    """Pure (traceable) builder behind :func:`init_stylex_params`; callers
+    composing larger single-program inits (optimizer slots etc.) trace this
+    directly."""
     cfg = modules.cfg
-    k_e, k_s, k_g, k_d = jax.random.split(key, 4)
-    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 4 if cfg.transparent else 3))
-    z = jnp.zeros((1, cfg.mapping_dim))
-    w = jnp.zeros((1, modules.num_layers, cfg.latent_dim))
-    noise = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
 
-    enc_params = modules.encoder.init(k_e, img)["params"]
-    s_params = modules.S.init(k_s, z)["params"]
-    g_params = modules.G.init(k_g, w, noise)["params"]
-    if cfg.arch == Arch.NEW:
-        d_vars = modules.D.init(k_d, img, jnp.zeros((1, cfg.num_classes)))
-    else:
-        d_vars = modules.D.init(k_d, img)
+    def build(k):
+        k_e, k_s, k_g, k_d = jax.random.split(k, 4)
+        img = jnp.zeros((1, cfg.image_size, cfg.image_size, 4 if cfg.transparent else 3))
+        z = jnp.zeros((1, cfg.mapping_dim))
+        w = jnp.zeros((1, modules.num_layers, cfg.latent_dim))
+        noise = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
 
-    out = {
-        "encoder": enc_params,
-        "S": s_params,
-        "G": g_params,
-        "D": d_vars["params"],
-        "SE": jax.tree.map(jnp.copy, s_params),
-        "GE": jax.tree.map(jnp.copy, g_params),
-    }
-    if "vq" in d_vars:
-        out["D_vq"] = d_vars["vq"]
-    return out
+        enc_params = modules.encoder.init(k_e, img)["params"]
+        s_params = modules.S.init(k_s, z)["params"]
+        g_params = modules.G.init(k_g, w, noise)["params"]
+        if cfg.arch == Arch.NEW:
+            d_vars = modules.D.init(k_d, img, jnp.zeros((1, cfg.num_classes)))
+        else:
+            d_vars = modules.D.init(k_d, img)
+
+        out = {
+            "encoder": enc_params,
+            "S": s_params,
+            "G": g_params,
+            "D": d_vars["params"],
+            "SE": jax.tree.map(jnp.copy, s_params),
+            "GE": jax.tree.map(jnp.copy, g_params),
+        }
+        if "vq" in d_vars:
+            out["D_vq"] = d_vars["vq"]
+        return out
+
+    return build(key)
 
 
 def make_w(cfg: ModelConfig, encoder_output: jax.Array, classifier_logits: jax.Array) -> jax.Array:

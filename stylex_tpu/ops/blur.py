@@ -62,15 +62,19 @@ def blur3(x: jax.Array) -> jax.Array:
     # bf16 (XLA's 2-byte lowering is near-roofline), and full-train-step
     # A/B runs show the choice is performance-neutral at step granularity
     # (the blur is a tiny fraction of a step) — so the f32 gate stands.
+    # The platform half of the gate uses ``lax.platform_dependent`` (resolved
+    # per *lowering* platform), not ``jax.default_backend()``: a TPU-backed
+    # process may still trace programs for its host CPU devices (host-side
+    # param init, the virtual CPU test mesh), where the Mosaic kernel can't
+    # lower.
     if (
-        jax.default_backend() == "tpu"
-        and x.shape[-1] % 128 == 0
+        x.shape[-1] % 128 == 0
         and x.dtype == jnp.float32
         and not os.environ.get("STYLEX_TPU_NO_PALLAS")
     ):
         from stylex_tpu.ops.pallas_blur import blur3_pallas
 
-        return blur3_pallas(x)
+        return lax.platform_dependent(x, tpu=blur3_pallas, default=blur3_xla)
     return blur3_xla(x)
 
 
@@ -114,8 +118,7 @@ def upsample2x_bilinear(x: jax.Array) -> jax.Array:
     """
     b, h, w, c = x.shape
     if (
-        jax.default_backend() == "tpu"
-        and x.dtype == jnp.float32
+        x.dtype == jnp.float32
         and c % 128 == 0
         and 4 <= h <= 16
         and h == w
@@ -124,7 +127,13 @@ def upsample2x_bilinear(x: jax.Array) -> jax.Array:
     ):
         from stylex_tpu.ops.pallas_upsample import upsample2x_bilinear_pallas_batched
 
-        return upsample2x_bilinear_pallas_batched(x)
+        # per-lowering-platform dispatch (see blur3): TPU takes the Pallas
+        # kernel, any CPU lowering in the same process takes XLA.
+        return lax.platform_dependent(
+            x,
+            tpu=upsample2x_bilinear_pallas_batched,
+            default=upsample2x_bilinear_xla,
+        )
     return upsample2x_bilinear_xla(x)
 
 

@@ -59,22 +59,31 @@ def make_optimizers(model_cfg: ModelConfig, train_cfg: TrainConfig):
 def create_train_state(
     key: jax.Array, modules, model_cfg: ModelConfig, train_cfg: TrainConfig
 ) -> Tuple[StylExTrainState, Any, Any]:
-    """Initialise params + optimizer slots; returns (state, g_tx, d_tx)."""
-    from stylex_tpu.models.stylex import init_stylex_params
+    """Initialise params + optimizer slots; returns (state, g_tx, d_tx).
 
-    all_params = init_stylex_params(key, modules)
-    keys = ["encoder", "S", "G", "D"] + (["D_vq"] if "D_vq" in all_params else [])
-    params = {k: all_params[k] for k in keys}
-    ema_params = {k: all_params[k] for k in ("SE", "GE")}
+    The whole state (params + optimizer slots) is built as one host-side
+    jitted program and transferred once — eager init through the TPU relay
+    costs a remote compile per distinct op shape (utils/device.py).
+    """
+    from stylex_tpu.models.stylex import build_stylex_params
+    from stylex_tpu.utils.device import init_on_host
+
     g_tx, d_tx = make_optimizers(model_cfg, train_cfg)
-    g_opt_state = g_tx.init({k: params[k] for k in ("encoder", "S", "G")})
-    d_opt_state = d_tx.init(params["D"])
-    state = StylExTrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        ema_params=ema_params,
-        g_opt_state=g_opt_state,
-        d_opt_state=d_opt_state,
-        pl_mean=jnp.asarray(-1.0, jnp.float32),
-    )
-    return state, g_tx, d_tx
+
+    def build(k):
+        all_params = build_stylex_params(k, modules)
+        keys = ["encoder", "S", "G", "D"] + (["D_vq"] if "D_vq" in all_params else [])
+        params = {k2: all_params[k2] for k2 in keys}
+        ema_params = {k2: all_params[k2] for k2 in ("SE", "GE")}
+        g_opt_state = g_tx.init({k2: params[k2] for k2 in ("encoder", "S", "G")})
+        d_opt_state = d_tx.init(params["D"])
+        return StylExTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=ema_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            pl_mean=jnp.asarray(-1.0, jnp.float32),
+        )
+
+    return init_on_host(build, key), g_tx, d_tx
