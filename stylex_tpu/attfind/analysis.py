@@ -83,6 +83,11 @@ def find_significant_styles(
         return []
     effect = np.maximum(0.0, style_change_effect[:, :, :, class_index]).reshape(num_images, -1)
 
+    # termination guard the reference lacks: once every (direction, sindex)
+    # column has been picked (and zeroed) there is nothing left to select,
+    # so asking for more would spin forever on argmax==0
+    num_indices = min(num_indices, effect.shape[1])
+
     images_effect = np.zeros(num_images)
     picked: List[int] = []
     while len(picked) < num_indices:
@@ -125,4 +130,4 @@ def merge_and_score(
             )
         )
     order = np.argsort(scores)[::-1]
-    return [joined[i] for i in order][: max(num_indices, len(joined))]
+    return [joined[i] for i in order][:num_indices]

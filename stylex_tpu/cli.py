@@ -180,6 +180,7 @@ def train_from_folder(
         lpips_path=lpips_path,
         tensorboard_dir=tensorboard_dir if log or tensorboard_dir else None,
         seed=seed,
+        clear_fid_cache=clear_fid_cache,
     )
 
     if generate:

@@ -122,6 +122,14 @@ class TrainConfig:
     seed: int = 42
     # Precision/perf knobs (TPU-native; replaces apex O1):
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Host-loop pipelining: number of steps whose metrics may remain
+    # in flight before the host blocks to fetch/log/NaN-check them.
+    # 0 = fetch synchronously every step (the reference's behavior,
+    # `stylex_train.py:1457-1486`); >0 keeps the device queue full so
+    # wall step time approaches device step time on relayed TPUs.
+    # NaN detection lags by at most this many steps; the trainer drains
+    # fully before every checkpoint save so a NaN state is never saved.
+    metrics_lag: int = 8
     # Data parallel axis size; None = all visible devices.
     num_devices: Optional[int] = None
 

@@ -75,7 +75,12 @@ class SampleLoader:
     def _producer(self):
         while not self._stop.is_set():
             idx = self._draw_indices()
-            futures = [self.pool.submit(self.dataset.__getitem__, int(i)) for i in idx]
+            try:
+                futures = [self.pool.submit(self.dataset.__getitem__, int(i)) for i in idx]
+            except RuntimeError:
+                # close() shut the pool down between the stop-flag check and
+                # the submit; just exit the producer
+                return
             batch = np.stack([f.result() for f in futures]).astype(np.float32)
             if self.quantize:
                 batch = np.clip(batch * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
@@ -89,11 +94,15 @@ class SampleLoader:
 
     def close(self):
         self._stop.set()
+        # unblock a producer stuck in queue.put, then let it observe the
+        # stop flag and exit BEFORE the pool goes away (it can enqueue at
+        # most one more batch after the drain)
         try:
             while True:
                 self.queue.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=5.0)
         self.pool.shutdown(wait=False)
 
 

@@ -30,6 +30,8 @@ __all__ = [
     "frechet_distance",
     "fid_from_image_batches",
     "alexnet_features_fn",
+    "resolve_feature_fn",
+    "compute_feature_stats",
 ]
 
 
@@ -133,27 +135,36 @@ def fid_from_image_batches(
     Defaults to InceptionV3 pool3 features when weights are available, else
     the seeded AlexNet fallback.
     """
-    if feature_fn is None:
-        try:
-            from stylex_tpu.models.inception import default_pool3_features
-
-            feature_fn = default_pool3_features()
-        except Exception:
-            feature_fn = None
-        if feature_fn is None:
-            feature_fn = alexnet_features_fn()
-
-    stats_r = stats_f = None
-    for batch in real_batches:
-        feats = feature_fn(jnp.asarray(batch))
-        if stats_r is None:
-            stats_r = FeatureStats(feats.shape[-1])
-        stats_r.update(feats)
-    for batch in fake_batches:
-        feats = feature_fn(jnp.asarray(batch))
-        if stats_f is None:
-            stats_f = FeatureStats(feats.shape[-1])
-        stats_f.update(feats)
-    mu1, c1 = stats_r.finalize()
-    mu2, c2 = stats_f.finalize()
+    feature_fn = resolve_feature_fn(feature_fn)
+    mu1, c1 = compute_feature_stats(real_batches, feature_fn)
+    mu2, c2 = compute_feature_stats(fake_batches, feature_fn)
     return frechet_distance(mu1, c1, mu2, c2)
+
+
+def resolve_feature_fn(
+    feature_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """InceptionV3 pool3 when weights are available, else seeded AlexNet."""
+    if feature_fn is not None:
+        return feature_fn
+    try:
+        from stylex_tpu.models.inception import default_pool3_features
+
+        feature_fn = default_pool3_features()
+    except Exception:
+        feature_fn = None
+    return feature_fn if feature_fn is not None else alexnet_features_fn()
+
+
+def compute_feature_stats(
+    batches: Iterable[np.ndarray],
+    feature_fn: Callable[[jax.Array], jax.Array],
+):
+    """Streamed (mu, cov) over a stream of (B, H, W, 3) batches in [0, 1]."""
+    stats = None
+    for batch in batches:
+        feats = feature_fn(jnp.asarray(batch))
+        if stats is None:
+            stats = FeatureStats(feats.shape[-1])
+        stats.update(feats)
+    return stats.finalize()
