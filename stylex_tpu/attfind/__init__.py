@@ -11,6 +11,7 @@ from stylex_tpu.attfind.analysis import (
     find_significant_styles,
     merge_and_score,
     style_vector_distances,
+    rank_styles,
 )
 from stylex_tpu.attfind.visualize import (
     generate_change_image_given_dlatent,
@@ -30,6 +31,7 @@ __all__ = [
     "find_significant_styles",
     "merge_and_score",
     "style_vector_distances",
+    "rank_styles",
     "generate_change_image_given_dlatent",
     "generate_images_given_dlatent",
     "visualize_style",

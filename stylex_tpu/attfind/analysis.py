@@ -17,6 +17,7 @@ __all__ = [
     "find_significant_styles",
     "merge_and_score",
     "style_vector_distances",
+    "rank_styles",
 ]
 
 
@@ -131,3 +132,40 @@ def merge_and_score(
         )
     order = np.argsort(scores)[::-1]
     return [joined[i] for i in order][:num_indices]
+
+
+def rank_styles(
+    records,
+    num_classes: int = 2,
+    num_indices: int = 5,
+    effect_threshold: float = 0.5,
+):
+    """The full analysis chain (cells 14-16) over an
+    :class:`~stylex_tpu.attfind.extraction.AttFindRecords` (or anything with
+    its attributes): per-class split -> greedy picks -> merged ranked list.
+
+    Returns ``(ranked, per_class)``. Classes with zero images contribute no
+    picks (the reference's analysis would crash on an empty class).
+    """
+    effects_cls, _, _, _ = split_by_class(
+        records.style_change,
+        records.latents,
+        records.base_prob,
+        records.style_coordinates,
+        records.minima,
+        records.maxima,
+        num_classes=num_classes,
+    )
+    per_class: Dict[int, List[Tuple[int, int]]] = {}
+    for class_index in range(num_classes):
+        if len(effects_cls[class_index]) == 0:
+            per_class[class_index] = []
+            continue
+        per_class[class_index] = find_significant_styles(
+            effects_cls[class_index],
+            num_indices,
+            class_index,
+            max_image_effect=effect_threshold * 5,
+        )
+    ranked = merge_and_score(records.style_change, per_class, num_indices)
+    return ranked, per_class

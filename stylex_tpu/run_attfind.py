@@ -51,10 +51,8 @@ def main(argv=None) -> None:
 
     from stylex_tpu.attfind import (
         attfind_extraction,
-        find_significant_styles,
-        merge_and_score,
+        rank_styles,
         save_records_hdf5,
-        split_by_class,
         visualize_style,
     )
     from stylex_tpu.data.dataset import FolderDataset
@@ -106,22 +104,10 @@ def main(argv=None) -> None:
     out.mkdir(parents=True, exist_ok=True)
     save_records_hdf5(records, str(out / "style_change_records.hdf5"))
 
-    effects_cls, w_cls, dist_cls, coords_cls = split_by_class(
-        records.style_change, records.latents, records.base_prob,
-        records.style_coordinates, records.minima, records.maxima,
-        num_classes=cfg.num_classes,
+    ranked, per_class = rank_styles(
+        records, num_classes=cfg.num_classes, num_indices=args.num_indices,
+        effect_threshold=args.effect_threshold,
     )
-    per_class = {}
-    for class_index in range(cfg.num_classes):
-        if len(effects_cls[class_index]) == 0:
-            print(f"class {class_index}: 0 images — skipped")
-            per_class[class_index] = []
-            continue
-        per_class[class_index] = find_significant_styles(
-            effects_cls[class_index], args.num_indices, class_index,
-            max_image_effect=args.effect_threshold * 5,
-        )
-    ranked = merge_and_score(records.style_change, per_class, args.num_indices)
 
     print("Directions and style indices for moving from class 1 to class 0 =",
           ranked[: args.num_indices])

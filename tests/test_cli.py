@@ -68,3 +68,29 @@ def test_run_attfind_cli_end_to_end(tmp_path):
     assert len(ranked) >= 1
     direction, sindex = ranked[0]
     assert direction in (0, 1)
+
+    # replay-results driver (`all_results_notebook.ipynb` equivalent):
+    # report-only from the precomputed records, no model forward
+    from stylex_tpu.replay_results import main as replay_main
+
+    replay_out = tmp_path / "replay_out"
+    replay_main([
+        "--records", str(out / "style_change_records.hdf5"),
+        "--out", str(replay_out),
+        "--num-indices", "2",
+    ])
+    report = json.loads((replay_out / "top_styles.json").read_text())
+    assert [tuple(x) for x in report["ranked"]] == [tuple(x) for x in ranked]
+    assert report["per_style"][0]["sindex"] == sindex
+
+    # with a checkpoint: renders the panel suite from the stored latents
+    replay_main([
+        "--records", str(out / "style_change_records.hdf5"),
+        "--out", str(replay_out),
+        "--num-indices", "2",
+        "--name", "attcli",
+        "--base-dir", str(tmp_path),
+        "--classifier-name", "mobilenet",
+        "--visualize-top", "1",
+    ])
+    assert (replay_out / f"style_{direction}_{sindex}_by_distance.png").exists()
