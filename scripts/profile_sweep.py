@@ -68,8 +68,8 @@ def main() -> None:
 
     def gen_fn(w, noise, deltas):
         ws = expand_styles(w, modules.num_layers)
-        nb = jnp.broadcast_to(noise, (w.shape[0],) + noise.shape[1:])
-        img, _ = modules.generate(params, ws, nb, style_delta=deltas)
+        # batch-1 shared noise broadcasts at the conv-output add (docs/ROOFLINE.md)
+        img, _ = modules.generate(params, ws, noise, style_delta=deltas)
         return img
 
     imgs = jax.jit(gen_fn)(w_chunk, noise, deltas)

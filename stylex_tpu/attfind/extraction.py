@@ -57,8 +57,7 @@ def _phase1(modules, params, classifier_fn, cfg, images, noise):
     enc = modules.encode(params, images)
     w = make_w(cfg, enc, logits)
     w_styles = expand_styles(w, modules.num_layers)
-    noise_b = jnp.broadcast_to(noise, (images.shape[0],) + noise.shape[1:])
-    gen, coords = modules.generate(params, w_styles, noise_b)
+    gen, coords = modules.generate(params, w_styles, noise)
     if cfg.arch == Arch.NEW:
         probs = jax.nn.softmax(classifier_fn(gen), axis=-1)
         d_out = modules.discriminate(params, gen, probs)
@@ -90,10 +89,12 @@ def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
         shift = (extreme - current) * shift_size
         deltas = jax.nn.one_hot(coord_idx, num_coords, dtype=w_all.dtype) * shift[:, None]
         w = w_all[img_idx]
-        n = coord_idx.shape[0]
         w_styles = expand_styles(w, modules.num_layers)
-        noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
-        gen, _ = modules.generate(params, w_styles, noise_b, style_delta=deltas)
+        # the fixed shared noise stays batch-1: the generator's to_noise
+        # denses then produce (1, h, w, C) maps that broadcast into the
+        # conv-output add — materialising them per chunk element costs
+        # ~GBs of pure HBM traffic per chunk (docs/ROOFLINE.md)
+        gen, _ = modules.generate(params, w_styles, noise, style_delta=deltas)
         logits = classifier_fn(gen)
         return logits - base_all[img_idx]
 
@@ -113,8 +114,7 @@ def _capture_states(modules, params, cfg, w_all, noise, phase1_batch):
     @jax.jit
     def cap(w):
         w_styles = expand_styles(w, modules.num_layers)
-        noise_b = jnp.broadcast_to(noise, (w.shape[0],) + noise.shape[1:])
-        _, _, states = modules.generate(params, w_styles, noise_b, capture_states=True)
+        _, _, states = modules.generate(params, w_styles, noise, capture_states=True)
         return states
 
     chunks = [cap(w_all[s : s + phase1_batch]) for s in range(0, w_all.shape[0], phase1_batch)]
@@ -142,15 +142,13 @@ def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
         shift = (extreme - current) * shift_size
         deltas = jax.nn.one_hot(coord_idx, num_coords, dtype=w_all.dtype) * shift[:, None]
         w = w_all[img_idx]
-        n = coord_idx.shape[0]
         w_styles = expand_styles(w, modules.num_layers)
-        noise_b = jnp.broadcast_to(noise, (n,) + noise.shape[1:])
         state = (
             x_state[img_idx],
             None if rgb_state is None else rgb_state[img_idx],
         )
         gen, _ = modules.generate(
-            params, w_styles, noise_b, style_delta=deltas,
+            params, w_styles, noise, style_delta=deltas,
             start_block=start_block, initial_state=state,
         )
         logits = classifier_fn(gen)

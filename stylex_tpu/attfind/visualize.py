@@ -30,8 +30,8 @@ __all__ = [
 
 def _gen(modules, params, classifier_fn, w, noise, delta=None):
     w_styles = expand_styles(w, modules.num_layers)
-    noise_b = jnp.broadcast_to(jnp.asarray(noise), (w.shape[0],) + noise.shape[1:])
-    imgs, _ = modules.generate(params, w_styles, noise_b, style_delta=delta)
+    # shared noise stays batch-1; the generator broadcasts at the add
+    imgs, _ = modules.generate(params, w_styles, jnp.asarray(noise), style_delta=delta)
     probs = jax.nn.softmax(classifier_fn(imgs), axis=-1)
     return jnp.clip(imgs, 0.0, 1.0), probs
 

@@ -153,6 +153,14 @@ def convert_lpips_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
             if w.shape == (out_ch, in_ch, k, k):
                 break
             ki += 1
+        if ki >= len(conv_keys):
+            raise ValueError(
+                f"LPIPS state dict has no conv matching ({out_ch},{in_ch},{k},{k}) "
+                f"for tap {i}. The official standalone lpips 'alex.pth' holds only "
+                "the lin{0..4} calibration taps — pass a full "
+                "lpips.LPIPS(net='alex').state_dict() (AlexNet backbone included), "
+                f"not the taps-only file. Keys seen: {sorted(sd)[:6]}..."
+            )
         w = np_(sd[conv_keys[ki]])
         b = np_(sd[conv_keys[ki].replace(".weight", ".bias")])
         params[f"conv{i}"] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)), "bias": jnp.asarray(b)}

@@ -61,6 +61,53 @@ def test_lpips_ingest_roundtrip(tmp_path):
     )
 
 
+def test_lpips_package_slice_layout():
+    """The real ``lpips.LPIPS(net='alex')`` state dict wraps AlexNet in
+    slice1..slice5 Sequentials that KEEP the original torchvision feature
+    indices as module names (lpips/pretrained_networks.py ``alexnet``), so
+    keys look like ``net.slice2.3.weight`` — not ``net.features.3.weight``.
+    The converter must map both layouts to identical params."""
+    from stylex_tpu.models.lpips import LPIPS_CFG, convert_lpips_state_dict
+
+    torch.manual_seed(1)
+    conv_positions = [0, 3, 6, 8, 10]  # torchvision alexnet feature indices
+    tv_sd, lp_sd = {}, {}
+    # slice s (1-based) holds features[prev:pos+1]; conv index keeps its
+    # original name inside the slice.
+    in_ch = 3
+    for i, (out_ch, k, _, _) in enumerate(LPIPS_CFG):
+        w = torch.randn(out_ch, in_ch, k, k)
+        b = torch.randn(out_ch)
+        lin = torch.rand(1, out_ch, 1, 1)
+        pos = conv_positions[i]
+        tv_sd[f"net.features.{pos}.weight"] = w
+        tv_sd[f"net.features.{pos}.bias"] = b
+        tv_sd[f"lin{i}.model.1.weight"] = lin
+        lp_sd[f"net.slice{i + 1}.{pos}.weight"] = w
+        lp_sd[f"net.slice{i + 1}.{pos}.bias"] = b
+        lp_sd[f"lin{i}.model.1.weight"] = lin
+        in_ch = out_ch
+    # full-module dicts also carry the scaling layer buffers; must be ignored
+    lp_sd["scaling_layer.shift"] = torch.randn(1, 3, 1, 1)
+    lp_sd["scaling_layer.scale"] = torch.randn(1, 3, 1, 1)
+
+    _trees_equal(convert_lpips_state_dict(tv_sd), convert_lpips_state_dict(lp_sd))
+
+
+def test_lpips_taps_only_fails_loudly():
+    """The official standalone ``alex.pth`` ships only the lin calibration
+    taps (no AlexNet backbone); converting it must raise a clear error, not
+    an IndexError or a silent random backbone."""
+    from stylex_tpu.models.lpips import LPIPS_CFG, convert_lpips_state_dict
+
+    sd = {
+        f"lin{i}.model.1.weight": torch.rand(1, out_ch, 1, 1)
+        for i, (out_ch, *_rest) in enumerate(LPIPS_CFG)
+    }
+    with pytest.raises(ValueError, match="taps-only"):
+        convert_lpips_state_dict(sd)
+
+
 def test_lpips_missing_file_fails_loudly(tmp_path):
     from stylex_tpu.models.lpips import load_lpips_params
 
