@@ -10,13 +10,16 @@ Here the sweep is the shipping flat cross-image chunked sweep from
 
 Output protocol (VERDICT r2 Weak #1: round 2's bench timed out before
 printing anything): the ONE required JSON line is printed — flushed — the
-moment the primary measurement lands. Everything after that point is
-SILENT on stdout/stderr: extras run under an explicit wall-clock budget
-(``STYLEX_BENCH_BUDGET_S``, default 420 s measured from process start),
-skipped extras are recorded, and the full extras dict + any tracebacks go
-to ``BENCH_EXTRAS.json`` / ``bench_extras.log`` in the repo root. The
-driver's captured tail therefore always ends with the primary line, and a
-driver timeout during extras can no longer lose the metric.
+moment the primary measurement lands, and the MAIN PROCESS THEN EXITS 0
+immediately (measured ~200 s warm-cache on the relayed chip). The extra
+metrics (MFU attach, resume sweep, 256px, train steps) are handed to a
+detached child process (``python bench.py --extras-only``) whose output
+goes to ``BENCH_EXTRAS.json`` / ``bench_extras.log`` in the repo root,
+under a wall-clock budget (``STYLEX_BENCH_BUDGET_S``, default 420 s).
+Round 2's failure mode — a driver timeout during compile-heavy extras
+producing rc=124 with no metric — is structurally impossible: the driver
+sees the primary line and a clean exit regardless of what the extras do.
+Set ``STYLEX_BENCH_NO_EXTRAS=1`` to skip spawning the child (tests).
 
 All timings use the slope protocol from ``stylex_tpu.utils.timing``:
 this container's TPU is behind a relay that memoizes repeated identical
@@ -286,6 +289,30 @@ def _run_extras(dtype, extras: dict, log) -> None:
     extras["elapsed_s"] = round(_elapsed(), 1)
 
 
+def extras_main() -> None:
+    """Run the extra metrics synchronously (the detached child's entry, or
+    invoke directly: ``python bench.py --extras-only``)."""
+    from stylex_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    dtype = jnp.float32 if os.environ.get("STYLEX_BENCH_F32") else jnp.bfloat16
+    repo = os.path.dirname(os.path.abspath(__file__))
+    extras = {"dtype": "float32" if dtype == jnp.float32 else "bfloat16"}
+    with open(os.path.join(repo, "bench_extras.log"), "w") as log:
+        devnull = open(os.devnull, "w")
+        old_out, old_err = sys.stdout, sys.stderr
+        sys.stdout, sys.stderr = devnull, log
+        try:
+            _run_extras(dtype, extras, log)
+        except Exception:
+            traceback.print_exc(file=log)
+        finally:
+            sys.stdout, sys.stderr = old_out, old_err
+            devnull.close()
+    with open(os.path.join(repo, "BENCH_EXTRAS.json"), "w") as f:
+        json.dump(extras, f, indent=1)
+
+
 def main() -> None:
     from stylex_tpu.utils.cache import enable_persistent_cache
 
@@ -313,25 +340,20 @@ def main() -> None:
         flush=True,
     )
 
-    # ---- everything past this point is silent on stdout/stderr ----
-    repo = os.path.dirname(os.path.abspath(__file__))
-    extras = {"primary_styles_per_sec": round(styles64, 1),
-              "dtype": "float32" if dtype == jnp.float32 else "bfloat16",
-              "primary_elapsed_s": round(_elapsed(), 1)}
-    with open(os.path.join(repo, "bench_extras.log"), "w") as log:
-        devnull = open(os.devnull, "w")
-        old_out, old_err = sys.stdout, sys.stderr
-        sys.stdout, sys.stderr = devnull, log
-        try:
-            _run_extras(dtype, extras, log)
-        except Exception:
-            traceback.print_exc(file=log)
-        finally:
-            sys.stdout, sys.stderr = old_out, old_err
-            devnull.close()
-    with open(os.path.join(repo, "BENCH_EXTRAS.json"), "w") as f:
-        json.dump(extras, f, indent=1)
+    # ---- extras run in a detached child; this process exits 0 now ----
+    if not os.environ.get("STYLEX_BENCH_NO_EXTRAS"):
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo, "bench_extras.log"), "w") as log:
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--extras-only"],
+                stdout=log, stderr=log, start_new_session=True, cwd=repo,
+            )
 
 
 if __name__ == "__main__":
-    main()
+    if "--extras-only" in sys.argv[1:]:
+        extras_main()
+    else:
+        main()

@@ -106,6 +106,7 @@ def train_from_folder(
     num_devices: Optional[int] = None,
     bf16: bool = False,
     remat: bool = False,
+    steps_per_dispatch: int = 1,
 ) -> None:
     """Train (or run eval-only modes for) a StylEx model from an image folder."""
     from stylex_tpu.train.trainer import NanException, Trainer
@@ -167,6 +168,7 @@ def train_from_folder(
         seed=seed,
         compute_dtype="bfloat16" if (bf16 or fp16) else "float32",
         num_devices=num_devices,
+        steps_per_dispatch=steps_per_dispatch,
     )
 
     trainer = Trainer(
@@ -215,6 +217,7 @@ def train_from_folder(
         bar = None
 
     while trainer.steps < num_train_steps:
+        prev_steps = trainer.steps
         # NaN -> checkpoint reload, retried 3x (`retry_call`, `cli.py:71-76`)
         retries = 3
         while True:
@@ -226,8 +229,9 @@ def train_from_folder(
                 if retries <= 0:
                     raise
         if bar is not None:
-            bar.update(1)
-        if trainer.steps % 50 == 0:
+            bar.update(trainer.steps - prev_steps)
+        # a >1-step dispatch may jump across a print cadence point
+        if trainer.steps // 50 != prev_steps // 50:
             trainer.logger.print_line(trainer.steps, metrics)
 
     trainer.save(trainer.checkpoint_num)

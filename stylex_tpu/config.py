@@ -130,6 +130,12 @@ class TrainConfig:
     # NaN detection lags by at most this many steps; the trainer drains
     # fully before every checkpoint save so a NaN state is never saved.
     metrics_lag: int = 8
+    # Steps fused into ONE device dispatch (lax.scan over the train step).
+    # 1 = the reference's one-optimizer-step-per-host-iteration loop; >1
+    # amortises per-dispatch relay latency K-fold. Randomness and periodic
+    # work are exact: step keys are pre-split with the sequential chain and
+    # blocks are clamped so save/evaluate/FID steps end a block.
+    steps_per_dispatch: int = 1
     # Data parallel axis size; None = all visible devices.
     num_devices: Optional[int] = None
 

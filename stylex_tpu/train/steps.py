@@ -58,7 +58,7 @@ from stylex_tpu.ops.diffaug import augment_for_discriminator
 from stylex_tpu.ops.latents import expand_styles, image_noise, mixed_w_styles
 from stylex_tpu.train.state import StylExTrainState
 
-__all__ = ["make_train_step", "microbatch_schedule"]
+__all__ = ["make_train_step", "make_multi_train_step", "microbatch_schedule"]
 
 Params = Dict[str, Any]
 
@@ -81,6 +81,42 @@ def _tree_add(a, b):
 
 def _tree_zeros_like(t):
     return jax.tree.map(jnp.zeros_like, t)
+
+
+def make_multi_train_step(train_step):
+    """K train steps as ONE dispatch: ``lax.scan`` of the single step over
+    stacked batches and per-step keys.
+
+    On a relayed/remote TPU each dispatch costs a host round-trip that can
+    dwarf the 73 ms device step (measured ~0.4 s/step wall in the r2 64px
+    campaign); scanning K steps inside one XLA program amortises that
+    overhead K-fold. The reference has no equivalent — its host loop is one
+    optimizer step per Python iteration by construction
+    (`/root/reference/stylex/cli.py:71-76`).
+
+    Semantics: the caller pre-splits the K step keys with the same
+    ``jax.random.split`` chain the sequential host loop uses, so a K-step
+    dispatch consumes identical randomness to K sequential dispatches; the
+    trainer sizes K so that save/evaluate/FID boundary steps only ever land
+    on the *last* step of a block (periodic host work stays exact).
+
+    Args:
+      train_step: the function built by :func:`make_train_step`.
+
+    Returns ``multi_step(state, batch, keys) -> (state, metrics)`` where
+    every ``batch`` leaf is stacked to ``(K, ...)`` over its single-step
+    shape, ``keys`` is ``(K,)`` PRNG keys, and each metric comes back
+    stacked ``(K,)`` (step-ordered).
+    """
+
+    def multi_step(state: StylExTrainState, batch: Dict[str, jax.Array], keys: jax.Array):
+        def body(st, xs):
+            b, key = xs
+            return train_step(st, b, key)
+
+        return lax.scan(body, state, (batch, keys))
+
+    return multi_step
 
 
 def make_train_step(

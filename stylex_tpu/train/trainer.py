@@ -51,7 +51,7 @@ from stylex_tpu.ops.latents import (
 )
 from stylex_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from stylex_tpu.train.state import StylExTrainState, create_train_state
-from stylex_tpu.train.steps import make_train_step
+from stylex_tpu.train.steps import make_multi_train_step, make_train_step
 from stylex_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from stylex_tpu.utils.image import save_image_grid
 from stylex_tpu.utils.logging import MetricLogger
@@ -193,6 +193,11 @@ class Trainer:
         self._step_fn = jax.jit(
             step, in_shardings=(replicated(self.mesh), None, None), donate_argnums=(0,)
         )
+        self._multi_step_fn = jax.jit(
+            make_multi_train_step(step),
+            in_shardings=(replicated(self.mesh), None, None),
+            donate_argnums=(0,),
+        )
         self.write_config()
 
     def init_folders(self) -> None:
@@ -247,25 +252,11 @@ class Trainer:
             print(f"autosetting augmentation probability to {round(self.aug_prob * 100)}%")
 
     # ------------------------------------------------------------------ train
-    def train(self) -> Dict[str, float]:
-        assert self.loader is not None, (
-            "You must first initialize the data source with `.set_data_src(<folder of images>)`"
-        )
-        self.init_stylex()
-        tc0 = self.train_cfg
-        batch = next(self.loader)
-        batch = shard_batch(self.mesh, batch, batch_axis=1)
-        if tc0.top_k_training:
-            # generator top-k schedule (`stylex_train.py:1399-1405`)
-            epochs = (self.steps * tc0.batch_size * tc0.gradient_accumulate_every) / max(
-                len(self.dataset), 1
-            )
-            k_frac = max(tc0.generator_top_k_gamma**epochs, tc0.generator_top_k_frac)
-            batch["top_k"] = jnp.asarray(math.ceil(tc0.batch_size * k_frac), jnp.int32)
-        self.rng, step_key = jax.random.split(self.rng)
+    def _is_boundary(self, step: int) -> bool:
+        """Steps whose completion triggers host-side periodic work
+        (save / evaluate / FID cadence, `stylex_train.py:1490-1503`)."""
         tc = self.train_cfg
-        step = self.steps  # the step about to execute
-        boundary = (
+        return (
             step % tc.save_every == 0
             or step % tc.evaluate_every == 0
             or (step % 100 == 0 and step < 2500)
@@ -275,9 +266,71 @@ class Trainer:
                 and step != 0
             )
         )
+
+    def _top_k_for(self, step: int) -> int:
+        """Generator top-k schedule (`stylex_train.py:1399-1405`)."""
+        tc = self.train_cfg
+        epochs = (step * tc.batch_size * tc.gradient_accumulate_every) / max(
+            len(self.dataset), 1
+        )
+        k_frac = max(tc.generator_top_k_gamma**epochs, tc.generator_top_k_frac)
+        return math.ceil(tc.batch_size * k_frac)
+
+    def train(self) -> Dict[str, float]:
+        """Advance training by one dispatch: ``steps_per_dispatch`` jitted
+        steps fused into one ``lax.scan`` program (clamped so a boundary
+        step is always the last of its block), with randomness identical
+        to the sequential loop. Returns the latest drained metrics."""
+        assert self.loader is not None, (
+            "You must first initialize the data source with `.set_data_src(<folder of images>)`"
+        )
+        self.init_stylex()
+        tc = self.train_cfg
+        step = self.steps  # first step of the block about to execute
+        # block size: largest k <= steps_per_dispatch such that only the
+        # final step of [step, step+k) is a boundary and we never overrun
+        # num_train_steps
+        k = 1
+        limit = max(1, tc.steps_per_dispatch)
+        while (
+            k < limit
+            and not self._is_boundary(step + k - 1)
+            and step + k < tc.num_train_steps
+        ):
+            k += 1
+
+        step_batches = [next(self.loader) for _ in range(k)]
+        if k == 1:
+            batch = shard_batch(self.mesh, step_batches[0], batch_axis=1)
+            if tc.top_k_training:
+                batch["top_k"] = jnp.asarray(self._top_k_for(step), jnp.int32)
+        else:
+            stacked = {
+                key: np.stack([b[key] for b in step_batches])
+                for key in step_batches[0]
+            }
+            batch = shard_batch(self.mesh, stacked, batch_axis=2)
+            if tc.top_k_training:
+                batch["top_k"] = jnp.asarray(
+                    [self._top_k_for(step + i) for i in range(k)], jnp.int32
+                )
+        # pre-split the step keys with the sequential chain: a k-step block
+        # consumes exactly the randomness of k single-step dispatches
+        keys = []
+        for _ in range(k):
+            self.rng, step_key = jax.random.split(self.rng)
+            keys.append(step_key)
+
+        last = step + k - 1
+        boundary = self._is_boundary(last)
         with self.step_timer:
-            self.state, dev_metrics = self._step_fn(self.state, batch, step_key)
-            self._host_step = step + 1
+            if k == 1:
+                self.state, dev_metrics = self._step_fn(self.state, batch, keys[0])
+            else:
+                self.state, dev_metrics = self._multi_step_fn(
+                    self.state, batch, jnp.stack(keys)
+                )
+            self._host_step = step + k
             for leaf in jax.tree.leaves(dev_metrics):
                 try:
                     leaf.copy_to_host_async()
@@ -287,28 +340,28 @@ class Trainer:
             # Pipelined host loop (VERDICT r2 Weak #3): fetching every
             # metric every step blocks on the relay and costs ~0.4s/step
             # of pure dispatch latency; instead metrics stay in flight up
-            # to `metrics_lag` steps and are drained (logged, NaN-checked)
-            # lagged. Boundaries (save/evaluate/FID) and the first step
-            # drain fully, so checkpoints are always NaN-checked and the
-            # returned metrics are never empty.
-            lag = 0 if (boundary or not self._last_metrics) else tc0.metrics_lag
+            # to `metrics_lag` dispatches and are drained (logged,
+            # NaN-checked) lagged. Boundaries (save/evaluate/FID) and the
+            # first step drain fully, so checkpoints are always NaN-checked
+            # and the returned metrics are never empty.
+            lag = 0 if (boundary or not self._last_metrics) else tc.metrics_lag
             self._drain(lag)
         metrics = dict(self._last_metrics)
         metrics.update(self.step_timer.stats(
-            images_per_step=tc0.batch_size * tc0.gradient_accumulate_every
+            images_per_step=k * tc.batch_size * tc.gradient_accumulate_every
         ))
 
-        if step % tc.save_every == 0:
-            self.save(step // tc.save_every)
-        if step % tc.evaluate_every == 0 or (step % 100 == 0 and step < 2500):
+        if last % tc.save_every == 0:
+            self.save(last // tc.save_every)
+        if last % tc.evaluate_every == 0 or (last % 100 == 0 and last < 2500):
             self.evaluate(
-                encoder_input=tc.sample_from_encoder, num=step // tc.evaluate_every
+                encoder_input=tc.sample_from_encoder, num=last // tc.evaluate_every
             )
-        if tc.calculate_fid_every is not None and step % tc.calculate_fid_every == 0 and step != 0:
+        if tc.calculate_fid_every is not None and last % tc.calculate_fid_every == 0 and last != 0:
             fid = self.calculate_fid(math.ceil(tc.calculate_fid_num_images / tc.batch_size))
             self.last_fid = fid
             with open(self.results_dir / self.name / "fid_scores.txt", "a") as f:
-                f.write(f"{step},{fid}\n")
+                f.write(f"{last},{fid}\n")
         self.av = None
         return metrics
 
@@ -321,21 +374,26 @@ class Trainer:
         while len(self._pending) > lag:
             step, dev_metrics = self._pending.popleft()
             vals = jax.device_get(dev_metrics)  # one transfer for the dict
-            metrics = {k: float(v) for k, v in vals.items()}
-            if not all(np.isfinite(v) for v in (metrics["g_loss"], metrics["d_loss"])):
-                print(
-                    f"NaN detected for generator or discriminator at step {step}. "
-                    f"Loading from checkpoint #{self.checkpoint_num}"
-                )
-                # load the latest checkpoint that actually exists: at a save
-                # boundary steps//save_every names a checkpoint that was never
-                # written (the reference's `load(self.checkpoint_num)` crashes
-                # there, `stylex_train.py:1481-1486`)
-                self._pending.clear()
-                self.load(-1)
-                raise NanException
-            self.logger.log(step, metrics)
-            self._last_metrics = metrics
+            # a multi-step dispatch yields (K,)-stacked metrics; a single
+            # step yields scalars — normalise to per-step rows
+            rows = {k: np.atleast_1d(v) for k, v in vals.items()}
+            n = len(next(iter(rows.values())))
+            for i in range(n):
+                metrics = {k: float(v[i]) for k, v in rows.items()}
+                if not all(np.isfinite(v) for v in (metrics["g_loss"], metrics["d_loss"])):
+                    print(
+                        f"NaN detected for generator or discriminator at step {step + i}. "
+                        f"Loading from checkpoint #{self.checkpoint_num}"
+                    )
+                    # load the latest checkpoint that actually exists: at a save
+                    # boundary steps//save_every names a checkpoint that was never
+                    # written (the reference's `load(self.checkpoint_num)` crashes
+                    # there, `stylex_train.py:1481-1486`)
+                    self._pending.clear()
+                    self.load(-1)
+                    raise NanException
+                self.logger.log(step + i, metrics)
+                self._last_metrics = metrics
 
     @property
     def hparams(self):
