@@ -107,6 +107,7 @@ def train_from_folder(
     bf16: bool = False,
     remat: bool = False,
     steps_per_dispatch: int = 1,
+    async_save: bool = True,
 ) -> None:
     """Train (or run eval-only modes for) a StylEx model from an image folder."""
     from stylex_tpu.train.trainer import NanException, Trainer
@@ -169,6 +170,7 @@ def train_from_folder(
         compute_dtype="bfloat16" if (bf16 or fp16) else "float32",
         num_devices=num_devices,
         steps_per_dispatch=steps_per_dispatch,
+        async_save=async_save,
     )
 
     trainer = Trainer(

@@ -136,6 +136,12 @@ class TrainConfig:
     # work are exact: step keys are pre-split with the sequential chain and
     # blocks are clamped so save/evaluate/FID steps end a block.
     steps_per_dispatch: int = 1
+    # Checkpoint writes happen in a background thread after a device-side
+    # snapshot (donation-safe); the train loop keeps stepping instead of
+    # stalling ~45-50 s per save on a relayed chip. Durability points are
+    # unchanged: loads, the next save, and process exit all join the
+    # writer. False = the reference's blocking save.
+    async_save: bool = True
     # Data parallel axis size; None = all visible devices.
     num_devices: Optional[int] = None
 

@@ -52,7 +52,12 @@ from stylex_tpu.ops.latents import (
 from stylex_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from stylex_tpu.train.state import StylExTrainState, create_train_state
 from stylex_tpu.train.steps import make_multi_train_step, make_train_step
-from stylex_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from stylex_tpu.utils.checkpoint import (
+    AsyncCheckpointWriter,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
 from stylex_tpu.utils.image import save_image_grid
 from stylex_tpu.utils.logging import MetricLogger
 
@@ -141,6 +146,7 @@ class Trainer:
         self.last_fid: Optional[float] = None
         self.clear_fid_cache = clear_fid_cache
         self._pending: deque = deque()  # (step, device metrics) in flight
+        self._ckpt_writer = AsyncCheckpointWriter()
         self._last_metrics: Dict[str, float] = {}
         self._host_step: Optional[int] = None
         self.logger = MetricLogger(
@@ -206,6 +212,7 @@ class Trainer:
 
     def clear(self) -> None:
         """Wipe model/results/fid dirs (`Trainer.clear`, `:1729-1734`)."""
+        self._ckpt_writer.wait()  # an in-flight write would resurrect a file
         for d in (self.models_dir / self.name, self.results_dir / self.name, self.fid_dir):
             shutil.rmtree(d, ignore_errors=True)
         self.init_folders()
@@ -408,11 +415,20 @@ class Trainer:
 
         self._drain(0)  # never checkpoint a state with unchecked NaNs
         self.write_config()
+        if self.train_cfg.async_save:
+            # background write off a device snapshot; the loop keeps
+            # stepping instead of stalling on the full state fetch
+            return self._ckpt_writer.submit(
+                str(self.models_dir), self.name, num, self.state,
+                extra={"version": __version__},
+            )
+        self._ckpt_writer.wait()
         return save_checkpoint(
             str(self.models_dir), self.name, num, self.state, extra={"version": __version__}
         )
 
     def load(self, num: int = -1) -> None:
+        self._ckpt_writer.wait()  # an in-flight save may be the file we read
         self.load_config()
         self.init_stylex()
         if num == -1:

@@ -12,28 +12,105 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+    "AsyncCheckpointWriter",
+]
 
 _CKPT_RE = re.compile(r"model_(\d+)\.ckpt$")
 
 
-def save_checkpoint(models_dir: str, name: str, num: int, state, extra: Optional[Dict[str, Any]] = None) -> str:
-    """Serialise a train state (or raw params pytree) to
-    ``<models_dir>/<name>/model_<num>.ckpt``."""
-    d = Path(models_dir) / name
-    d.mkdir(parents=True, exist_ok=True)
+def _write_checkpoint_file(path: Path, state, extra: Optional[Dict[str, Any]]) -> None:
+    """Fetch + serialise + ATOMICALLY publish (tmp file, then rename): a
+    reader can never observe a partially-written checkpoint."""
     payload = {"state": serialization.to_state_dict(state)}
     if extra:
         payload.update(extra)
+    blob = serialization.msgpack_serialize(
+        jax.tree.map(lambda x: jax.device_get(x), payload)
+    )
+    tmp = path.with_suffix(".ckpt.tmp")
+    tmp.write_bytes(blob)
+    os.replace(tmp, path)
+
+
+def save_checkpoint(models_dir: str, name: str, num: int, state, extra: Optional[Dict[str, Any]] = None) -> str:
+    """Serialise a train state (or raw params pytree) to
+    ``<models_dir>/<name>/model_<num>.ckpt`` (blocking)."""
+    d = Path(models_dir) / name
+    d.mkdir(parents=True, exist_ok=True)
     path = d / f"model_{num}.ckpt"
-    path.write_bytes(serialization.msgpack_serialize(jax.tree.map(lambda x: jax.device_get(x), payload)))
+    _write_checkpoint_file(path, state, extra)
     return str(path)
+
+
+@jax.jit
+def _device_snapshot(tree):
+    # HBM-to-HBM copy (~0.1 ms/GB at v5e bandwidth). The copy — not the
+    # live state — is what the background writer reads, so the train loop
+    # may immediately donate the original buffers into the next dispatch.
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.copy, tree)
+
+
+class AsyncCheckpointWriter:
+    """Background checkpoint writer (one in flight).
+
+    The reference's ``Trainer.save`` blocks the train loop on a full
+    state fetch (`/root/reference/stylex/stylex_train.py:1736-1746`) — on
+    a relayed TPU that is a measured 45-50 s stall per checkpoint (r3 64px
+    campaign logs). ``submit`` instead snapshots the state on device,
+    starts async host copies, and hands serialisation + the atomic rename
+    to a non-daemon thread: the train loop continues, process exit still
+    joins the writer, and ``wait`` (called before any load and by the next
+    submit) rethrows writer errors on the main thread.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+
+    def wait(self) -> None:
+        """Join the in-flight write (if any); re-raise its failure."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def submit(self, models_dir: str, name: str, num: int, state,
+               extra: Optional[Dict[str, Any]] = None) -> str:
+        self.wait()
+        d = Path(models_dir) / name
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"model_{num}.ckpt"
+        snap = _device_snapshot(state)
+        for leaf in jax.tree.leaves(snap):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
+        def _write():
+            try:
+                _write_checkpoint_file(path, snap, extra)
+            except BaseException as e:  # surfaced by the next wait()
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=_write, name=f"ckpt-write-{name}-{num}", daemon=False
+        )
+        self._thread.start()
+        return str(path)
 
 
 def latest_checkpoint(models_dir: str, name: str) -> Optional[Tuple[int, str]]:
