@@ -237,6 +237,7 @@ def train_from_folder(
             trainer.logger.print_line(trainer.steps, metrics)
 
     trainer.save(trainer.checkpoint_num)
+    trainer.flush()  # the final save may be an in-flight background write
 
 
 # ---------------------------------------------------------------------------

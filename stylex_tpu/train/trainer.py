@@ -427,6 +427,14 @@ class Trainer:
             str(self.models_dir), self.name, num, self.state, extra={"version": __version__}
         )
 
+    def flush(self) -> None:
+        """Barrier for everything in flight: drain (log + NaN-check) all
+        pending step metrics and join any background checkpoint write.
+        Call before inspecting checkpoints on disk from the same process;
+        process exit joins the (non-daemon) writer implicitly."""
+        self._drain(0)
+        self._ckpt_writer.wait()
+
     def load(self, num: int = -1) -> None:
         self._ckpt_writer.wait()  # an in-flight save may be the file we read
         self.load_config()

@@ -88,6 +88,7 @@ def test_blocks_clamp_to_boundaries_and_log_every_step(tmp_path):
         seen.append((before, t.steps))
     # step 0 is a save boundary -> k=1; then 1..4 (4 is a boundary), 5..8
     assert seen == [(0, 1), (1, 5), (5, 9)]
+    t.flush()  # saves are background writes; barrier before reading disk
     ckpt_dir = tmp_path / "models" / "bounded"
     assert (ckpt_dir / "model_0.ckpt").exists()  # step 0
     assert (ckpt_dir / "model_1.ckpt").exists()  # step 4
