@@ -28,6 +28,8 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Sequence, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -40,7 +42,7 @@ from stylex_tpu.models.layers import (
     leaky_relu,
 )
 from stylex_tpu.ops.blur import upsample2x_bilinear, upsample2x_blur
-from stylex_tpu.ops.modconv import modulated_conv2d
+from stylex_tpu.ops.modconv import modulated_conv2d, modulated_upsample_conv2d
 
 __all__ = [
     "Generator",
@@ -137,10 +139,17 @@ class GeneratorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, prev_rgb, istyle, inoise, delta1=None, delta2=None):
-        if self.upsample:
+        # The upsample is folded into conv1 (one polyphase coarse-grid conv,
+        # ops/upconv.py) unless opted out: the unfused path materializes the
+        # 4x activation in HBM and is the sweep's most expensive stage
+        # (docs/ROOFLINE.md). Both paths are equal to reassociation rounding.
+        fuse_up = self.upsample and not os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
+        if self.upsample and not fuse_up:
             x = upsample2x_bilinear(x)
 
         b, h, w, _ = x.shape
+        if fuse_up:
+            h, w = 2 * h, 2 * w
         inoise = inoise[:, :h, :w, :]
         zeros = nn.initializers.zeros_init()
         noise1 = DenseTorch(self.filters, kernel_init=zeros, bias_init=zeros, name="to_noise1")(inoise)
@@ -156,7 +165,10 @@ class GeneratorBlock(nn.Module):
         w1 = self.param(
             "conv1_weight", kaiming_normal_leaky(), (3, 3, self.input_channels, self.filters)
         )
-        x = modulated_conv2d(x, w1, style1)
+        if fuse_up:
+            x = modulated_upsample_conv2d(x, w1, style1)
+        else:
+            x = modulated_conv2d(x, w1, style1)
         x = leaky_relu(x + noise1)
 
         style2 = DenseTorch(self.filters, name="to_style2")(istyle)

@@ -1,4 +1,4 @@
-from stylex_tpu.ops.modconv import modulated_conv2d, demod_scale
+from stylex_tpu.ops.modconv import modulated_conv2d, modulated_upsample_conv2d, demod_scale
 from stylex_tpu.ops.blur import blur3, upsample2x_bilinear, upsample2x_blur, downsample_blur
 from stylex_tpu.ops.latents import (
     latent_noise,
@@ -20,6 +20,7 @@ from stylex_tpu.ops.diffaug import (
 
 __all__ = [
     "modulated_conv2d",
+    "modulated_upsample_conv2d",
     "demod_scale",
     "blur3",
     "upsample2x_bilinear",

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["modulated_conv2d", "demod_scale"]
+__all__ = ["modulated_conv2d", "modulated_upsample_conv2d", "demod_scale"]
 
 
 def demod_scale(weight: jax.Array, style_plus_one: jax.Array, eps: float = 1e-8) -> jax.Array:
@@ -92,6 +92,38 @@ def modulated_conv2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
     )
+    if demod:
+        d = demod_scale(weight, s, eps)
+        y = y * d[:, None, None, :].astype(y.dtype)
+    return y
+
+
+def modulated_upsample_conv2d(
+    x: jax.Array,
+    weight: jax.Array,
+    style: jax.Array,
+    *,
+    demod: bool = True,
+    eps: float = 1e-8,
+    precision=None,
+) -> jax.Array:
+    """``modulated_conv2d(upsample2x_bilinear(x), weight, style)`` without
+    materializing the 4x-upsampled intermediate.
+
+    The reference generator upsamples then convolves
+    (`stylex_train.py:677-705`); since modulation scales *input channels*
+    it commutes through the (spatial) upsample, demodulation is a
+    per-(sample, out-channel) scalar computed from the FINE kernel exactly
+    as in :func:`modulated_conv2d`, and the upsample+conv composition
+    collapses into one polyphase coarse-grid conv
+    (:mod:`stylex_tpu.ops.upconv`). Only the 3x3 stride-1 SAME case the
+    generator uses is supported.
+    """
+    from stylex_tpu.ops.upconv import upsample2x_conv3x3_same
+
+    s = style + 1.0
+    x = x * s[:, None, None, :].astype(x.dtype)
+    y = upsample2x_conv3x3_same(x, weight, precision=precision)
     if demod:
         d = demod_scale(weight, s, eps)
         y = y * d[:, None, None, :].astype(y.dtype)

@@ -144,3 +144,43 @@ def test_augment_for_discriminator_prob_zero_is_identity():
     x = jnp.array(np.random.RandomState(6).rand(2, 8, 8, 3).astype(np.float32))
     out = augment_for_discriminator(key, x, 0.0, ("translation",))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+@pytest.mark.parametrize("h,w_sp", [(3, 3), (4, 4), (4, 7), (8, 8), (5, 3)])
+def test_upsample2x_conv3x3_matches_unfused(h, w_sp):
+    """The polyphase fused upsample+conv (ops/upconv.py) must equal
+    conv3x3_SAME(upsample2x_bilinear(x)) EVERYWHERE — borders included
+    (the fused interior formula is invalid in a 2-fine-pixel frame which
+    is recomputed from coarse strips; this is the test that the pasting
+    is exact)."""
+    from stylex_tpu.ops.upconv import upsample2x_conv3x3_same
+
+    rng = np.random.RandomState(h * 10 + w_sp)
+    x = jnp.array(rng.randn(2, h, w_sp, 5).astype(np.float32))
+    k = jnp.array(rng.randn(3, 3, 5, 4).astype(np.float32))
+
+    y = jax.image.resize(x, (2, 2 * h, 2 * w_sp, 5), method="bilinear")
+    want = jax.lax.conv_general_dilated(
+        y, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = upsample2x_conv3x3_same(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_modulated_upsample_conv2d_matches_composition():
+    """modulated_upsample_conv2d == upsample then modulated_conv2d, and
+    gradients flow to the fine kernel parameterisation."""
+    from stylex_tpu.ops import modulated_upsample_conv2d
+
+    rng = np.random.RandomState(7)
+    x = jnp.array(rng.randn(3, 6, 6, 8).astype(np.float32))
+    k = jnp.array(rng.randn(3, 3, 8, 4).astype(np.float32))
+    style = jnp.array(rng.randn(3, 8).astype(np.float32))
+
+    want = modulated_conv2d(upsample2x_bilinear(x), k, style)
+    got = modulated_upsample_conv2d(x, k, style)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+    g_fused = jax.grad(lambda w: modulated_upsample_conv2d(x, w, style).sum())(k)
+    g_ref = jax.grad(lambda w: modulated_conv2d(upsample2x_bilinear(x), w, style).sum())(k)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
