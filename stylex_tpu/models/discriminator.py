@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from stylex_tpu.models.layers import AttnAndFF, ConvTorch, DenseTorch, leaky_relu
-from stylex_tpu.ops.blur import blur3
 
 __all__ = ["DiscriminatorBlock", "DiscriminatorE", "discriminator_filters"]
 
@@ -57,8 +56,12 @@ class DiscriminatorBlock(nn.Module):
         x = ConvTorch(self.filters, 3, padding=1, name="conv2")(x)
         x = leaky_relu(x)
         if self.downsample:
-            x = blur3(x)
-            x = ConvTorch(self.filters, 3, stride=2, padding=1, name="conv_down")(x)
+            # blur + strided conv composed into one stride-2 conv with the
+            # 5x5 kernel (ops/downconv.py) — same param tree, one fewer
+            # full-resolution HBM round trip per block.
+            x = ConvTorch(
+                self.filters, 3, stride=2, padding=1, pre_blur=True, name="conv_down"
+            )(x)
         return (x + res) * _INV_SQRT2
 
 

@@ -11,6 +11,7 @@ numerology in NHWC/HWIO layouts.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional
 
 import jax
@@ -91,6 +92,12 @@ class ConvTorch(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     kernel_init: Optional[Callable] = None
+    # Apply the 3-tap binomial blur BEFORE the conv, fused into one stride-2
+    # convolution with the composed 5x5 kernel (the discriminator downsample
+    # pair, `stylex_train.py:733-736`; see stylex_tpu.ops.downconv). The
+    # stored parameter keeps the reference's (3,3,I,O) layout — composition
+    # happens on the fly — so checkpoints and converters are unchanged.
+    pre_blur: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -101,6 +108,35 @@ class ConvTorch(nn.Module):
             self.kernel_init or kaiming_normal_leaky(),
             (k, k, in_features // self.feature_group_count, self.features),
         )
+        if self.pre_blur:
+            if not (k == 3 and self.stride == 2 and self.padding == 1 and self.feature_group_count == 1):
+                raise ValueError("pre_blur composes only with 3x3 / stride 2 / padding 1 convs")
+            from stylex_tpu.ops.blur import blur3
+            from stylex_tpu.ops.downconv import blur_conv3x3_down2
+
+            fused_ok = (
+                x.shape[1] >= 4
+                and x.shape[2] >= 4
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+                and not os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
+            )
+            if fused_ok:
+                y = blur_conv3x3_down2(x, kernel)
+            else:
+                x = blur3(x)
+                y = lax.conv_general_dilated(
+                    x,
+                    kernel.astype(x.dtype),
+                    window_strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            if self.use_bias:
+                fan_in = in_features * k * k
+                bias = self.param("bias", torch_bias_uniform(fan_in), (self.features,))
+                y = y + bias.astype(y.dtype)
+            return y
         y = lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),

@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["blur3", "blur3_xla", "upsample2x_bilinear", "upsample2x_blur", "downsample_blur"]
+__all__ = [
+    "blur3",
+    "blur3_xla",
+    "upsample2x_bilinear",
+    "upsample2x_blur",
+    "upsample2x_blur_unfused",
+    "downsample_blur",
+]
 
 # Normalized binomial taps: outer([1,2,1],[1,2,1]) / 16.
 _TAPS = (0.25, 0.5, 0.25)
@@ -152,14 +159,78 @@ def _ups2x_bwd(_, g):
 upsample2x_bilinear.defvjp(_ups2x_fwd, _ups2x_bwd)
 
 
-def upsample2x_blur(x: jax.Array) -> jax.Array:
-    """Bilinear 2× upsample followed by the binomial blur.
-
-    The RGB skip-path resampler (`stylex_train.py:612-616`). Kept as one
-    function so XLA schedules the resize and the separable taps as a single
-    fused HBM pass.
-    """
+def upsample2x_blur_unfused(x: jax.Array) -> jax.Array:
+    """The literal composition: bilinear 2× upsample, then the binomial blur
+    (the RGB skip-path resampler, `stylex_train.py:612-616`). Kept as the
+    reference form for the fused polyphase op below."""
     return blur3(upsample2x_bilinear(x))
+
+
+# Per-axis polyphase taps of blur3 ∘ upsample2x_bilinear on the clamp-padded
+# coarse grid. Derivation (1-D, half-pixel bilinear y[2i]=¼x[i-1]+¾x[i],
+# y[2i+1]=¾x[i]+¼x[i+1]; blur z[f]=¼y[f-1]+½y[f]+¼y[f+1]):
+#   z[2i]   = ¼y[2i-1] + ½y[2i]   + ¼y[2i+1] = 0.3125·x[i-1] + 0.625·x[i] + 0.0625·x[i+1]
+#   z[2i+1] = ¼y[2i]   + ½y[2i+1] + ¼y[2i+2] = 0.0625·x[i-1] + 0.625·x[i] + 0.3125·x[i+1]
+# With the coarse input clamp-padded, these are exact for every fine index
+# except f=0 and f=2N-1, where the blur's *reflect* padding composes with the
+# upsample's edge clamp into 2-tap closed forms instead:
+#   z[0]    = ½y[0] + ½y[1]       = 0.875·x[0]   + 0.125·x[1]
+#   z[2N-1] = ½y[2N-2] + ½y[2N-1] = 0.125·x[N-2] + 0.875·x[N-1]
+# All taps are exact dyadics (representable in bf16). Verified against the
+# unfused composition in tests/test_ops.py.
+_UPBLUR_EVEN = (0.3125, 0.625, 0.0625)
+_UPBLUR_ODD = (0.0625, 0.625, 0.3125)
+
+
+def _upsample2x_blur_axis(x: jax.Array, axis: int) -> jax.Array:
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+    lo = lax.slice_in_dim(xp, 0, n, axis=axis)
+    mid = lax.slice_in_dim(xp, 1, n + 1, axis=axis)
+    hi = lax.slice_in_dim(xp, 2, n + 2, axis=axis)
+
+    def tap(c):
+        return jnp.asarray(c, x.dtype)
+
+    even = lo * tap(_UPBLUR_EVEN[0]) + mid * tap(_UPBLUR_EVEN[1]) + hi * tap(_UPBLUR_EVEN[2])
+    odd = lo * tap(_UPBLUR_ODD[0]) + mid * tap(_UPBLUR_ODD[1]) + hi * tap(_UPBLUR_ODD[2])
+    z = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    z = z.reshape(shape)
+    x0 = lax.slice_in_dim(x, 0, 1, axis=axis)
+    x1 = lax.slice_in_dim(x, 1, 2, axis=axis)
+    xm2 = lax.slice_in_dim(x, n - 2, n - 1, axis=axis)
+    xm1 = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    first = x0 * tap(0.875) + x1 * tap(0.125)
+    last = xm2 * tap(0.125) + xm1 * tap(0.875)
+    return lax.concatenate(
+        [first, lax.slice_in_dim(z, 1, 2 * n - 1, axis=axis), last], dimension=axis
+    )
+
+
+def upsample2x_blur(x: jax.Array) -> jax.Array:
+    """Bilinear 2× upsample followed by the binomial blur, as ONE separable
+    polyphase pass on the coarse grid.
+
+    The RGB skip-path resampler (`stylex_train.py:612-616`). The unfused
+    composition writes the 4×-area fine grid (gather-lowered resize), reads
+    it back, and blurs it — two fine-grid HBM round trips for a 3-channel
+    map at every block. Both ops are linear and separable, so they collapse
+    per axis into two 3-tap phase stencils on the coarse grid (taps above);
+    the fine grid is produced once, already blurred. Exact to rounding,
+    including the clamp/reflect boundary rows (closed forms above). The op
+    is linear; autodiff through the slice/pad/concat graph is its exact
+    transpose. ``STYLEX_TPU_NO_FUSED_UPCONV`` opts out (same switch as the
+    generator's fused entry conv — one flag restores the literal
+    reference-shaped compute graph everywhere).
+    """
+    b, h, w, c = x.shape
+    if h < 2 or w < 2 or os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV"):
+        return upsample2x_blur_unfused(x)
+    return _upsample2x_blur_axis(_upsample2x_blur_axis(x, 1), 2)
 
 
 def downsample_blur(x: jax.Array) -> jax.Array:

@@ -57,6 +57,33 @@ def test_generator_shapes_and_coords():
     assert coords.shape == (2, G.total_style_coords)
 
 
+def test_fused_resample_paths_match_unfused(monkeypatch):
+    """One switch (STYLEX_TPU_NO_FUSED_UPCONV) restores the literal
+    reference-shaped compute graph; the shipping fused resamplers (generator
+    entry upconv, RGB skip upsample+blur, discriminator blur+downconv) must
+    agree with it at model level."""
+    cfg = small_cfg(image_size=32)
+    G = Generator(cfg.image_size, cfg.latent_dim, cfg.network_capacity, fmap_max=cfg.fmap_max)
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (2, G.num_layers, cfg.latent_dim))
+    noise = jax.random.uniform(key, (2, 32, 32, 1))
+    gp = G.init(key, w, noise)
+
+    D = DiscriminatorE(image_size=32, network_capacity=4, mode="disc")
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    dp = D.init(jax.random.PRNGKey(2), x)
+
+    rgb_f, coords_f = G.apply(gp, w, noise)
+    d_f = D.apply(dp, x)
+    monkeypatch.setenv("STYLEX_TPU_NO_FUSED_UPCONV", "1")
+    rgb_u, coords_u = G.apply(gp, w, noise)
+    d_u = D.apply(dp, x)
+
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_u), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(coords_f), np.asarray(coords_u), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_u), rtol=1e-4, atol=1e-4)
+
+
 def test_style_delta_equals_bias_mutation():
     """Adding a one-hot delta must reproduce the reference's in-place
     ``to_style{1,2}.bias += shift`` trick (run_attfind_combined.ipynb cell 5)."""

@@ -167,6 +167,92 @@ def test_upsample2x_conv3x3_matches_unfused(h, w_sp):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("h,w_sp", [(2, 2), (3, 3), (4, 4), (4, 7), (8, 8), (5, 3)])
+def test_upsample2x_blur_fused_matches_composition(h, w_sp):
+    """The separable polyphase upsample+blur (ops/blur.py) must equal
+    blur3(upsample2x_bilinear(x)) EVERYWHERE — including the first/last
+    fine row and column, where the blur's reflect padding composes with
+    the upsample's edge clamp into the 2-tap closed forms. Also checks
+    it against the reference torch composition directly."""
+    from stylex_tpu.ops.blur import upsample2x_blur, upsample2x_blur_unfused
+
+    rng = np.random.RandomState(h * 10 + w_sp)
+    x = jnp.array(rng.randn(2, h, w_sp, 3).astype(np.float32))
+
+    want = upsample2x_blur_unfused(x)
+    got = upsample2x_blur(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    # torch oracle: nn.Upsample(bilinear, align_corners=False) then kornia-
+    # style normalized [1,2,1]⊗[1,2,1] blur with reflect border
+    # (`stylex_train.py:144-153,612-616`).
+    xt = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+    yt = F.interpolate(xt, scale_factor=2, mode="bilinear", align_corners=False)
+    taps = torch.tensor([[1.0, 2.0, 1.0]])
+    k2d = (taps.T @ taps) / 16.0
+    yt = F.pad(yt, (1, 1, 1, 1), mode="reflect")
+    wk = k2d.expand(xt.shape[1], 1, 3, 3)
+    zt = F.conv2d(yt, wk, groups=xt.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(got), zt.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+
+    # linear op: autodiff transpose must match the unfused composition's
+    g_fused = jax.grad(lambda v: (upsample2x_blur(v) ** 2).sum())(x)
+    g_ref = jax.grad(lambda v: (upsample2x_blur_unfused(v) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w_sp", [(4, 4), (8, 8), (8, 12), (6, 4), (16, 16)])
+def test_blur_conv3x3_down2_matches_composition(h, w_sp):
+    """The fused blur+stride-2-conv (ops/downconv.py) must equal
+    conv3x3_s2_p1(blur3(x)) EVERYWHERE — the o=0 output row/col crosses the
+    blur/conv padding boundary and is recomputed from 3-wide strips; this
+    is the test that the pasting is exact. Includes a torch oracle
+    (reflect-pad blur + Conv2d(stride=2, padding=1),
+    `stylex_train.py:733-736`) and the gradient w.r.t. the stored 3x3
+    parameter."""
+    from stylex_tpu.ops.blur import blur3_xla
+    from stylex_tpu.ops.downconv import blur_conv3x3_down2
+
+    rng = np.random.RandomState(h * 10 + w_sp)
+    x = jnp.array(rng.randn(2, h, w_sp, 5).astype(np.float32))
+    k = jnp.array(rng.randn(3, 3, 5, 4).astype(np.float32))
+
+    want = jax.lax.conv_general_dilated(
+        blur3_xla(x), k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = blur_conv3x3_down2(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+    xt = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+    taps = torch.tensor([[1.0, 2.0, 1.0]])
+    k2d = (taps.T @ taps) / 16.0
+    bt = F.conv2d(
+        F.pad(xt, (1, 1, 1, 1), mode="reflect"),
+        k2d.expand(5, 1, 3, 3),
+        groups=5,
+    )
+    kt = torch.tensor(np.asarray(k).transpose(3, 2, 0, 1))
+    zt = F.conv2d(bt, kt, stride=2, padding=1)
+    np.testing.assert_allclose(
+        np.asarray(got), zt.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5
+    )
+
+    g_fused = jax.grad(lambda w: (blur_conv3x3_down2(x, w) ** 2).sum())(k)
+    g_ref = jax.grad(
+        lambda w: (
+            jax.lax.conv_general_dilated(
+                blur3_xla(x), w, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            ** 2
+        ).sum()
+    )(k)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
 def test_modulated_upsample_conv2d_matches_composition():
     """modulated_upsample_conv2d == upsample then modulated_conv2d, and
     gradients flow to the fine kernel parameterisation."""
