@@ -27,6 +27,11 @@ import sys
 
 sys.path.insert(0, ".")
 
+# Pure host-side arithmetic — never let the axon TPU plugin touch the relay.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 MXU_PEAK = 197e12  # v5e bf16
 VPU_PEAK = 3.2e12  # v5e vector unit, ~order-of-magnitude
 HBM_PEAK = 0.819e12
@@ -80,7 +85,7 @@ class Model:
 
 
 def generator_model(n, image_size, capacity=16, fmap_max=512,
-                    noise_batch1=True):
+                    noise_batch1=True, fused_resample=False):
     from stylex_tpu.models.generator import style_coord_dims
 
     m = Model()
@@ -89,20 +94,45 @@ def generator_model(n, image_size, capacity=16, fmap_max=512,
     m.conv("initial_conv 4x4", n, 4, 4, init_c, init_c)
     s = 4
     for i, (cin, cout) in enumerate(dims):
-        if i != 0:
-            m.mem(f"b{i} upsample x {s}->{2*s}", n * (s * s + 4 * s * s) * cin)
+        up = i != 0
+        if up:
+            if not fused_resample:
+                m.mem(f"b{i} upsample x {s}->{2*s}",
+                      n * (s * s + 4 * s * s) * cin)
             s *= 2
         nb = 1 if noise_batch1 else n
         m.matmul(f"b{i} to_noise1+2", 2 * nb * s * s, 1, cout)
         if not noise_batch1:
             # materialised per-chunk noise maps are re-read at the add
             m.mem(f"b{i} noise add reread", 2 * n * s * s * cout)
-        m.conv(f"b{i} conv1 {cin}->{cout}@{s}", n, s, s, cin, cout)
+        if up and fused_resample:
+            # polyphase upconv (ops/upconv.py): conv1 reads the COARSE grid
+            # once and writes the fine grid once — the fine-grid input
+            # round trip (upsample write + conv re-read) is gone. Same
+            # FLOPs, 4x kernel bytes, 4*cout output-channel tiling.
+            sc = s // 2
+            flops = 2 * 9 * cin * cout * s * s * n
+            kdim = 9 * cin
+            lane_eff = (kdim / _pad(kdim, 128)) * (
+                4 * cout / _pad(4 * cout, 128))
+            byts = (n * sc * sc * cin + n * s * s * cout
+                    + 9 * cin * 4 * cout) * BYTES
+            t = max(flops / (MXU_PEAK * lane_eff), byts / HBM_PEAK)
+            m.rows.append((f"b{i} up+conv1 {cin}->{cout}@{s}", flops, byts,
+                           t, f"mxu eff={lane_eff:.2f} fused"))
+        else:
+            m.conv(f"b{i} conv1 {cin}->{cout}@{s}", n, s, s, cin, cout)
         m.conv(f"b{i} conv2 {cout}->{cout}@{s}", n, s, s, cout, cout)
         m.matmul(f"b{i} rgb 1x1", n * s * s, cout, 3)
         if i != len(dims) - 1:
-            # rgb bilinear up + 3-tap blur (3 channels, separable)
-            m.mem(f"b{i} rgb upsample+blur", n * (4 * s * s) * 3 * 4)
+            if fused_resample:
+                # separable polyphase upsample+blur (ops/blur.py): one
+                # coarse read + one fine write
+                m.mem(f"b{i} rgb up+blur fused",
+                      n * (s * s + 4 * s * s) * 3)
+            else:
+                # rgb bilinear up + 3-tap blur (3 channels, separable)
+                m.mem(f"b{i} rgb upsample+blur", n * (4 * s * s) * 3 * 4)
     return m
 
 
@@ -142,11 +172,16 @@ def main():
     f_old, t_old = g_old.report("generator (noise broadcast per chunk — r2)")
     g_new = generator_model(n, S, noise_batch1=True)
     f_gen, t_gen = g_new.report("generator (batch-1 noise — r3)")
+    g_fused = generator_model(n, S, noise_batch1=True, fused_resample=True)
+    f_gf, t_gf = g_fused.report("generator (fused polyphase resamplers — r3)")
     c = classifier_model(n, S)
     f_clf, t_clf = c.report("classifier (MobileNetV2)")
 
+    tot_ff, tot_tf = f_gf + f_clf, t_gf + t_clf
+    print(f"\n== sweep ceiling (r3 fused resamplers): {tot_tf*1e3:.3f} ms/chunk"
+          f" -> {n/tot_tf:.0f} styles/s, MFU ceiling {tot_ff/tot_tf/MXU_PEAK:.3f}")
     tot_f, tot_t = f_gen + f_clf, t_gen + t_clf
-    print(f"\n== sweep ceiling (r3): {tot_t*1e3:.3f} ms/chunk -> "
+    print(f"== sweep ceiling (r3 unfused): {tot_t*1e3:.3f} ms/chunk -> "
           f"{n/tot_t:.0f} styles/s, MFU ceiling {tot_f/tot_t/MXU_PEAK:.3f}")
     tot_f0, tot_t0 = f_old + f_clf, t_old + t_clf
     print(f"== sweep ceiling (r2 noise scheme): {tot_t0*1e3:.3f} ms/chunk -> "
