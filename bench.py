@@ -41,6 +41,13 @@ import traceback
 _T_START = time.monotonic()
 
 import jax
+
+if os.environ.get("STYLEX_BENCH_FORCE_CPU"):
+    # Set by the relay watchdog below (or by hand): the axon PJRT plugin is
+    # registered at interpreter startup and hangs indefinitely when the TPU
+    # relay tunnel is down; this must run before any backend use.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,7 +121,13 @@ def _sweep_inputs(image_size: int, dtype, N: int = 4):
     return cfg, modules, params, clf, C, heavy
 
 
-def bench_attfind(image_size: int, coord_batch: int, dtype, with_mfu: bool = True):
+def bench_attfind(
+    image_size: int,
+    coord_batch: int,
+    dtype,
+    with_mfu: bool = True,
+    n_pair: tuple[int, int] | None = None,
+):
     """Slope-time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
     from stylex_tpu.attfind.extraction import _make_sweep_fn
 
@@ -130,7 +143,7 @@ def bench_attfind(image_size: int, coord_batch: int, dtype, with_mfu: bool = Tru
     t = measure_op(
         sweep,
         [w_all, noise, coords_all, minima, maxima, base, img_ids, coord_ids, dir_ids],
-        n_pair=(8, 32) if image_size <= 64 else (2, 8),
+        n_pair=n_pair or ((8, 32) if image_size <= 64 else (2, 8)),
     )
     styles_per_sec = coord_batch / t.seconds
 
@@ -313,32 +326,74 @@ def extras_main() -> None:
         json.dump(extras, f, indent=1)
 
 
+def _device_reachable(timeout_s: float) -> bool:
+    """Probe backend initialisation in a SUBPROCESS. When the TPU relay
+    tunnel is down, ``jax.devices()`` blocks forever inside the PJRT plugin
+    — round 2's rc=124-with-no-metric failure mode. A hung child is killable;
+    a hung backend lock in-process is not."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout_s,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     from stylex_tpu.utils.cache import enable_persistent_cache
+
+    if not os.environ.get("STYLEX_BENCH_FORCE_CPU"):
+        timeout_s = float(os.environ.get("STYLEX_BENCH_DEVICE_TIMEOUT", "180"))
+        if not _device_reachable(timeout_s):
+            # Honest degraded mode: re-exec forced onto the host CPU backend
+            # so the driver still gets a real measured line (clearly labeled
+            # via the "device" field) instead of a timeout with nothing.
+            print(
+                f"bench: device backend unreachable after {timeout_s:.0f}s; "
+                "re-exec on CPU backend",
+                file=sys.stderr,
+                flush=True,
+            )
+            env = dict(os.environ)
+            env["STYLEX_BENCH_FORCE_CPU"] = "1"
+            env["STYLEX_BENCH_NO_EXTRAS"] = "1"
+            os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
 
     enable_persistent_cache()
     dtype = jnp.float32 if os.environ.get("STYLEX_BENCH_F32") else jnp.bfloat16
 
     # ---- primary: 64px AttFind sweep, bf16, chunk 616 (divides 2*2464) ----
+    cpu_fallback = bool(os.environ.get("STYLEX_BENCH_FORCE_CPU"))
+    # degraded mode: small chunk + short loops — styles/s is normalized, and
+    # the host CPU can't fit/compile the full 616-chunk program quickly
+    chunk = 56 if cpu_fallback else 616
+    n_pair = (1, 3) if cpu_fallback else None
     try:
-        styles64, _ = bench_attfind(64, coord_batch=616, dtype=dtype, with_mfu=False)
+        styles64, _ = bench_attfind(
+            64, coord_batch=chunk, dtype=dtype, with_mfu=False, n_pair=n_pair
+        )
     except Exception:
         # fall back to fp32 once; the primary line must land
         traceback.print_exc(file=sys.stderr)
         dtype = jnp.float32
-        styles64, _ = bench_attfind(64, coord_batch=616, dtype=dtype, with_mfu=False)
+        styles64, _ = bench_attfind(
+            64, coord_batch=chunk, dtype=dtype, with_mfu=False, n_pair=n_pair
+        )
 
-    print(
-        json.dumps(
-            {
-                "metric": "attfind_styles_per_sec",
-                "value": round(styles64, 1),
-                "unit": "styles/s",
-                "vs_baseline": round(styles64 / BASELINE_STYLES_PER_SEC, 2),
-            }
-        ),
-        flush=True,
-    )
+    line = {
+        "metric": "attfind_styles_per_sec",
+        "value": round(styles64, 1),
+        "unit": "styles/s",
+        "vs_baseline": round(styles64 / BASELINE_STYLES_PER_SEC, 2),
+    }
+    if cpu_fallback:
+        line["device"] = "cpu-fallback (TPU relay unreachable)"
+    print(json.dumps(line), flush=True)
 
     # ---- extras run in a detached child; this process exits 0 now ----
     if not os.environ.get("STYLEX_BENCH_NO_EXTRAS"):
