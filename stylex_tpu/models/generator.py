@@ -271,13 +271,21 @@ class Generator(nn.Module):
                     kernel_init=kaiming_normal_leaky(),
                     name="to_initial_block",
                 )(avg_style)
+                x = ConvTorch(init_channels, 3, padding=1, name="initial_conv")(x)
             else:
                 initial = self.param(
                     "initial_block", nn.initializers.normal(stddev=1.0), (1, 4, 4, init_channels)
                 )
-                x = jnp.broadcast_to(initial, (batch, 4, 4, init_channels)).astype(styles.dtype)
-
-            x = ConvTorch(init_channels, 3, padding=1, name="initial_conv")(x)
+                # The stem conv commutes with the batch broadcast of the
+                # learned constant (identical inputs, shared weights) — conv
+                # once at batch 1, broadcast the OUTPUT. The reference convs
+                # the expanded batch (`stylex_train.py:807-812,821-823`);
+                # same math, batch× fewer stem FLOPs where XLA can't fold
+                # params into constants (train step). Param tree unchanged.
+                seed = ConvTorch(init_channels, 3, padding=1, name="initial_conv")(
+                    initial.astype(styles.dtype)
+                )
+                x = jnp.broadcast_to(seed, (batch, 4, 4, init_channels))
             rgb = None
         else:
             raise ValueError("start_block > 0 requires initial_state=(x, rgb)")
