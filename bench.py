@@ -311,7 +311,12 @@ def extras_main() -> None:
     dtype = jnp.float32 if os.environ.get("STYLEX_BENCH_F32") else jnp.bfloat16
     repo = os.path.dirname(os.path.abspath(__file__))
     extras = {"dtype": "float32" if dtype == jnp.float32 else "bfloat16"}
-    with open(os.path.join(repo, "bench_extras.log"), "w") as log:
+    # When spawned by main(), the parent already opened (and truncated)
+    # this file as the child's stdout/stderr — append, or the reopen would
+    # clobber any early-crash output the inherited fd wrote at its own
+    # offset. Direct `--extras-only` invocations truncate as before.
+    mode = "a" if os.environ.get("_STYLEX_EXTRAS_CHILD") else "w"
+    with open(os.path.join(repo, "bench_extras.log"), mode) as log:
         devnull = open(os.devnull, "w")
         old_out, old_err = sys.stdout, sys.stderr
         sys.stdout, sys.stderr = devnull, log
@@ -400,10 +405,13 @@ def main() -> None:
         import subprocess
 
         repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["_STYLEX_EXTRAS_CHILD"] = "1"  # child appends to this log
         with open(os.path.join(repo, "bench_extras.log"), "w") as log:
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--extras-only"],
                 stdout=log, stderr=log, start_new_session=True, cwd=repo,
+                env=env,
             )
 
 

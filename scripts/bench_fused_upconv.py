@@ -8,10 +8,12 @@ COARSE grid producing 4*Cout channels, then depth-to-space. Same FLOPs,
 skips the fine-grid intermediate (StyleGAN2's own CUDA path is the same
 trick: upfirdn2d folded into a strided transposed conv).
 
-This script only answers "is it faster on this chip" at generator shapes —
-boundary-exactness is handled in the library implementation, not here
-(interior taps only; the timing question is HBM traffic, which border
-corrections don't change).
+The composition itself is the shipped library op
+(:func:`stylex_tpu.ops.upconv.compose_upsample2x_kernel` /
+:func:`~stylex_tpu.ops.upconv.upsample2x_conv3x3_same`); this script only
+answers "how much faster on this chip" at generator shapes, for three
+variants: the materialized baseline, the interior-only polyphase conv
+(pure HBM question), and the shipped exact op (incl. boundary strips).
 
 Usage: python scripts/bench_fused_upconv.py [--f32]
 """
@@ -20,35 +22,13 @@ import sys
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, ".")
+from stylex_tpu.ops.upconv import (  # noqa: E402
+    compose_upsample2x_kernel,
+    upsample2x_conv3x3_same,
+)
 from stylex_tpu.utils.timing import measure_op  # noqa: E402
-
-# per-axis coarse-tap x fine-tap composition (interior; half-pixel bilinear):
-# phase 0: z[2i]  uses x[i-1],x[i],x[i+1] with weights .75w0+.25w1 | .25w0+.75w1+.75w2 | .25w2
-# phase 1: z[2i+1] uses                                .25w0       | .75w0+.75w1+.25w2 | .25w1+.75w2
-U = {
-    0: np.array([[0.75, 0.25, 0.0], [0.25, 0.75, 0.0], [0.0, 0.75, 0.25]]),
-    1: np.array([[0.25, 0.75, 0.0], [0.0, 0.75, 0.25], [0.0, 0.25, 0.75]]),
-}
-# U[p][fine_tap u, coarse_tap a] convention: contribution of w[u] to coarse tap a.
-
-
-def compose_kernel(w: np.ndarray) -> np.ndarray:
-    """w: (3,3,Cin,Cout) fine kernel -> (3,3,Cin,4*Cout) coarse kernel.
-
-    Output channel layout: [py*2+px interleaved per original channel] so a
-    depth_to_space on the last dim reproduces the fine grid.
-    """
-    kh, kw, cin, cout = w.shape
-    out = np.zeros((3, 3, cin, 2, 2, cout), w.dtype)
-    for py in (0, 1):
-        for px in (0, 1):
-            # W*[a,b] = sum_{u,v} U[py][u,a] * U[px][v,b] * w[u,v]
-            comp = np.einsum("ua,vb,uvio->abio", U[py], U[px], w)
-            out[:, :, :, py, px, :] = comp
-    return out.reshape(3, 3, cin, 4 * cout)
 
 
 def baseline(x, w):
@@ -59,7 +39,9 @@ def baseline(x, w):
     )
 
 
-def fused(x, wstar):
+def fused_interior(x, wstar):
+    """Polyphase conv + depth-to-space only (borders wrong by design —
+    isolates the HBM-traffic question from the boundary-strip cost)."""
     b, h, wd, c = x.shape
     z = jax.lax.conv_general_dilated(
         x, wstar, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
@@ -88,21 +70,30 @@ def main():
         key = jax.random.PRNGKey(0)
         x = jax.random.normal(key, (b, h, h, cin), dtype)
         w = jax.random.normal(key, (3, 3, cin, cout), jnp.float32)
-        wstar = jnp.asarray(compose_kernel(np.asarray(w)), dtype)
+        wstar = compose_upsample2x_kernel(w).astype(dtype)
         w = w.astype(dtype)
         try:
             t0 = measure_op(baseline, [x, w], n_pair=(4, 16)).seconds
-            t1 = measure_op(fused, [x, wstar], n_pair=(4, 16)).seconds
+            t1 = measure_op(fused_interior, [x, wstar], n_pair=(4, 16)).seconds
+            t2 = measure_op(
+                lambda v: upsample2x_conv3x3_same(v, w), [x], n_pair=(4, 16)
+            ).seconds
         except Exception as e:
             print(f"b{b} {h}x{h} {cin}->{cout}: FAILED {type(e).__name__}: {e}")
             continue
-        # sanity: interiors agree (borders differ by design here)
-        a = baseline(x, w)[:, 4:-4, 4:-4, :]
-        f = fused(x, wstar)[:, 4:-4, 4:-4, :]
-        err = float(jnp.max(jnp.abs(a - f)) / (jnp.max(jnp.abs(a)) + 1e-6))
+        # sanity: shipped op agrees with baseline EVERYWHERE, interior-only
+        # variant on the interior
+        a = baseline(x, w)
+        s = upsample2x_conv3x3_same(x, w)
+        err_all = float(jnp.max(jnp.abs(a - s)) / (jnp.max(jnp.abs(a)) + 1e-6))
+        f = fused_interior(x, wstar)[:, 4:-4, 4:-4, :]
+        err_int = float(
+            jnp.max(jnp.abs(a[:, 4:-4, 4:-4, :] - f)) / (jnp.max(jnp.abs(a)) + 1e-6)
+        )
         print(
             f"b{b} {h}x{h} {cin}->{cout}: baseline {t0*1e3:.3f} ms, "
-            f"fused {t1*1e3:.3f} ms, speedup {t0/t1:.2f}x, interior rel-err {err:.2e}"
+            f"interior {t1*1e3:.3f} ms, shipped {t2*1e3:.3f} ms, "
+            f"speedup {t0/t2:.2f}x, rel-err {err_all:.2e} (int {err_int:.2e})"
         )
 
 

@@ -144,8 +144,15 @@ def fid_from_image_batches(
 def resolve_feature_fn(
     feature_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Callable[[jax.Array], jax.Array]:
-    """InceptionV3 pool3 when weights are available, else seeded AlexNet."""
+    """InceptionV3 pool3 when weights are available, else seeded AlexNet.
+
+    The returned callable carries a ``tag`` attribute identifying the
+    extractor; cached feature statistics must be keyed by it (stats from
+    different extractors have different dimensions and are never
+    comparable)."""
     if feature_fn is not None:
+        if not hasattr(feature_fn, "tag"):
+            feature_fn.tag = getattr(feature_fn, "__name__", "custom")
         return feature_fn
     try:
         from stylex_tpu.models.inception import default_pool3_features
@@ -153,7 +160,12 @@ def resolve_feature_fn(
         feature_fn = default_pool3_features()
     except Exception:
         feature_fn = None
-    return feature_fn if feature_fn is not None else alexnet_features_fn()
+    if feature_fn is not None:
+        feature_fn.tag = "inception_v3_pool3"
+        return feature_fn
+    feature_fn = alexnet_features_fn()
+    feature_fn.tag = "alexnet_seeded"
+    return feature_fn
 
 
 def compute_feature_stats(

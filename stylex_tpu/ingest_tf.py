@@ -443,20 +443,33 @@ def google_fid_topk(
         gen, params = jax_generator
         synth = jax.jit(lambda w, d: gen.call_synthesis(params, w, style_delta=d))
 
+        # base synthesis + class flips computed ONCE — every top-i
+        # counterfactual set reuses them (they only depend on the base
+        # images), so the k-loop below runs one perturbed forward per i
+        # instead of re-synthesising and re-classifying the base set k+1x
+        base_imgs, flips = [], []
+        for s in range(0, len(latents), batch_size):
+            w = jnp.asarray(latents[s : s + batch_size], jnp.float32)
+            zeros = jnp.zeros((w.shape[0], gen.total_style_coords), jnp.float32)
+            img = np.asarray(synth(w, zeros))
+            base_imgs.append(img)
+            flips.append(np.argmax(models.classify(img), axis=-1) == 0)
+        base_imgs = np.concatenate(base_imgs)
+        flips = np.concatenate(flips)
+
         def cf_dataset(i):
-            # the jitted NHWC path: flips resolved from the base synthesis,
-            # then ONE batched forward with the joint style_delta per image
+            # the jitted NHWC path: ONE batched forward with the joint
+            # style_delta per image
+            if i == 0:
+                return base_imgs
             picks = list(s_indices_and_signs)[:i]
             imgs = []
             for s in range(0, len(latents), batch_size):
                 w = latents[s : s + batch_size]
                 sv = style_vecs[s : s + batch_size]
-                zeros = jnp.zeros((len(w), gen.total_style_coords), jnp.float32)
-                base_img = np.asarray(synth(jnp.asarray(w, jnp.float32), zeros))
-                base_prob = models.classify(base_img)
                 delta = np.zeros((len(w), gen.total_style_coords), np.float32)
                 for bi in range(len(w)):
-                    flip = int(np.argmax(base_prob[bi])) == 0
+                    flip = bool(flips[s + bi])
                     for direction, sindex in picks:
                         to_min = (direction == 0) != flip
                         extreme = style_min[sindex] if to_min else style_max[sindex]

@@ -58,10 +58,12 @@ def main(argv=None) -> None:
     print(f"records: {n} images x {c} StyleSpace coordinates x 2 directions "
           f"({args.records})")
 
+    # rank enough for both the printed top-k report and the panel render —
+    # rank_styles truncates its return to num_indices
     ranked, per_class = rank_styles(
         records,
         num_classes=args.num_classes,
-        num_indices=args.num_indices,
+        num_indices=max(args.num_indices, args.visualize_top),
         effect_threshold=args.effect_threshold,
     )
 

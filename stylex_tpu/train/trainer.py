@@ -346,12 +346,19 @@ class Trainer:
             self._pending.append((step, dev_metrics))
             # Pipelined host loop (VERDICT r2 Weak #3): fetching every
             # metric every step blocks on the relay and costs ~0.4s/step
-            # of pure dispatch latency; instead metrics stay in flight up
-            # to `metrics_lag` dispatches and are drained (logged,
-            # NaN-checked) lagged. Boundaries (save/evaluate/FID) and the
-            # first step drain fully, so checkpoints are always NaN-checked
-            # and the returned metrics are never empty.
-            lag = 0 if (boundary or not self._last_metrics) else tc.metrics_lag
+            # of pure dispatch latency; instead metrics stay in flight and
+            # are drained (logged, NaN-checked) lagged. `metrics_lag` is a
+            # bound in STEPS; each pending entry covers k steps, so allow
+            # metrics_lag // k dispatches in flight (min 1 — one multi-step
+            # dispatch is the granularity floor). Boundaries
+            # (save/evaluate/FID) and the first step drain fully, so
+            # checkpoints are always NaN-checked and the returned metrics
+            # are never empty.
+            lag = (
+                0
+                if (boundary or not self._last_metrics)
+                else max(1, tc.metrics_lag // k)
+            )
             self._drain(lag)
         metrics = dict(self._last_metrics)
         metrics.update(self.step_timer.stats(
@@ -376,7 +383,8 @@ class Trainer:
         """Fetch, log and NaN-check pending step metrics until at most
         ``lag`` remain in flight. Raises :class:`NanException` (after
         reloading the last checkpoint) when a drained step went
-        non-finite — at most ``metrics_lag`` steps after the fact; a full
+        non-finite — at most ``max(metrics_lag, steps_per_dispatch)``
+        steps after the fact; a full
         drain runs before every save so a NaN state is never checkpointed."""
         while len(self._pending) > lag:
             step, dev_metrics = self._pending.popleft()
@@ -620,14 +628,27 @@ class Trainer:
                 yield np.asarray(self.generate_images(expand_styles(w, L), noise, ema=True))
 
         feature_fn = resolve_feature_fn()
+        tag = getattr(feature_fn, "tag", "custom")
         cache = self.fid_dir / "real_stats.npz"
+        mu_r = cov_r = None
         if cache.exists() and not self.clear_fid_cache:
-            d = np.load(cache)
-            mu_r, cov_r = d["mu"], d["cov"]
-        else:
+            d = np.load(cache, allow_pickle=False)
+            # stats are only reusable if they came from the same feature
+            # extractor over the same real sample size — stale caches (e.g.
+            # InceptionV3 weights installed after a seeded-AlexNet run)
+            # would otherwise crash or silently skew the FID
+            if (
+                "extractor" in d.files
+                and str(d["extractor"]) == tag
+                and "num_batches" in d.files
+                and int(d["num_batches"]) == num_batches
+            ):
+                mu_r, cov_r = d["mu"], d["cov"]
+        if mu_r is None:
             mu_r, cov_r = compute_feature_stats(real_batches(), feature_fn)
             self.fid_dir.mkdir(parents=True, exist_ok=True)
-            np.savez(cache, mu=mu_r, cov=cov_r)
+            np.savez(cache, mu=mu_r, cov=cov_r,
+                     extractor=np.str_(tag), num_batches=num_batches)
             self.clear_fid_cache = False  # one-time, like the reference's re-dump
         mu_f, cov_f = compute_feature_stats(fake_batches(), feature_fn)
         return frechet_distance(mu_r, cov_r, mu_f, cov_f)
