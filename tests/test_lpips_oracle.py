@@ -94,5 +94,18 @@ def test_trainer_calculate_fid_smoke(tmp_path):
     trainer.set_data_src(dataset_name="synthetic")
     trainer.init_stylex()
     fid = trainer.calculate_fid(num_batches=4)
-    trainer.loader.close()
     assert np.isfinite(fid) and fid >= 0.0
+
+    # real-side stats cache: keyed by extractor tag + sample size, reused
+    # when both match, recomputed (not crashed) when the extractor changes
+    cache = trainer.fid_dir / "real_stats.npz"
+    d = np.load(cache)
+    assert {"mu", "cov", "extractor", "num_batches"} <= set(d.files)
+    fid2 = trainer.calculate_fid(num_batches=4)
+    np.testing.assert_allclose(fid2, fid, rtol=1e-6)
+    np.savez(cache, mu=d["mu"], cov=d["cov"],
+             extractor=np.str_("other_extractor"), num_batches=4)
+    fid3 = trainer.calculate_fid(num_batches=4)
+    assert np.isfinite(fid3)
+    assert str(np.load(cache)["extractor"]) != "other_extractor"
+    trainer.loader.close()
