@@ -114,11 +114,23 @@ class ConvTorch(nn.Module):
             from stylex_tpu.ops.blur import blur3
             from stylex_tpu.ops.downconv import blur_conv3x3_down2
 
+            # Unlike the generator's polyphase upconv (same FLOPs), the
+            # composed 5x5 kernel costs (25-9)/9 extra MXU work for the
+            # saved full-res HBM round trip (2*H*W*cin accesses). Per
+            # static block shape, fusing wins iff
+            #   2*H*W*cin*dsize/HBM > 2*16*cin*cout_pad*(H/2)*(W/2)/MXU
+            # -> cout_pad < 4*dsize*MXU/(16*HBM), which on v5e (197T bf16 /
+            # 98.5T f32, 819 GB/s) is ~240 both ways -> fuse when the
+            # 128-lane-padded out-channel count is 128, i.e. cout <= 128
+            # (the high-res low-channel D/E blocks, where resampling bytes
+            # dominate; the deep 256/512-channel blocks stay unfused and
+            # MXU-lean).
             fused_ok = (
                 x.shape[1] >= 4
                 and x.shape[2] >= 4
                 and x.shape[1] % 2 == 0
                 and x.shape[2] % 2 == 0
+                and self.features <= 128
                 and not os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
             )
             if fused_ok:
