@@ -238,9 +238,25 @@ def make_train_step(
 
             def d_loss(dp):
                 p = {**cast_tree(params), "D": cast_tree(dp)}
-                fake_scores = d_score(p, cast(fake), probs, k_augf).astype(jnp.float32)
+                # ONE batched trunk pass over [aug(fake); aug(real)]:
+                # per-sample math identical to two B-sized passes (the
+                # reference's two `D_aug` calls, `stylex_train.py:1331-1340`)
+                # but half the kernel launches at 2x batch utilization —
+                # micro-batches are tiny (default 4) so the trunk is
+                # dispatch/utilization-bound on TPU.
+                aug_f = augment_for_discriminator(k_augf, cast(fake), aug_prob, aug_types)
+                aug_r = augment_for_discriminator(
+                    k_augr, cast(real_img), aug_prob, aug_types
+                )
+                both = jnp.concatenate([aug_f, aug_r], axis=0)
+                probs2 = (
+                    jnp.concatenate([probs, probs], axis=0)
+                    if probs is not None
+                    else None
+                )
+                scores = modules.discriminate(p, both, probs2).astype(jnp.float32)
+                fake_scores, real_scores = scores[:batch], scores[batch:]
                 real_fn = lambda im: d_score(p, cast(im), probs, k_augr).astype(jnp.float32)
-                real_scores = real_fn(real_img)
                 q_loss = jnp.zeros(())
                 if cfg.fq_layers:
                     # feature-quantization commitment losses on both passes
