@@ -277,6 +277,16 @@ def _run_extras(dtype, extras: dict, log) -> None:
             bench_attfind_resume(64, coord_batch=616, dtype=dtype), 1
         )
 
+    def unfused64():
+        # A/B: the literal reference-shaped resample graph (the env flag is
+        # read at trace time, so rebuilding the sweep in-process suffices)
+        os.environ["STYLEX_TPU_NO_FUSED_UPCONV"] = "1"
+        try:
+            v, _ = bench_attfind(64, coord_batch=616, dtype=dtype, with_mfu=False)
+            extras["attfind64_unfused_styles_per_sec"] = round(v, 1)
+        finally:
+            os.environ.pop("STYLEX_TPU_NO_FUSED_UPCONV", None)
+
     def t64():
         v, dt, mfu = bench_train_step(64, batch=4, accum=8,
                                       dtype_name="float32", remat=False)
@@ -296,6 +306,7 @@ def _run_extras(dtype, extras: dict, log) -> None:
     gated("attfind64_mfu", mfu64)
     gated("train64", t64)
     gated("attfind64_resume", resume64)
+    gated("attfind64_unfused", unfused64)
     gated("attfind256", a256)
     gated("train256", t256)
     extras["skipped"] = skipped
