@@ -96,11 +96,16 @@ def lpips_distance(params: Dict[str, Any], x: jax.Array, y: jax.Array) -> jax.Ar
         new = (b, max(h, 32), max(w, 32), c)
         x = jax.image.resize(x, new, method="bilinear")
         y = jax.image.resize(y, new, method="bilinear")
-    fx = _alexnet_features(params, (x - shift) / scale)
-    fy = _alexnet_features(params, (y - shift) / scale)
+    # one batched backbone pass over [x; y] — per-sample math identical to
+    # two passes, half the kernel launches (the train micro-batches are
+    # tiny, so the backbone is utilization-bound)
+    b = x.shape[0]
+    both = jnp.concatenate([(x - shift) / scale, (y - shift) / scale], axis=0)
+    feats = _alexnet_features(params, both)
     total = 0.0
-    for i, (tx, ty) in enumerate(zip(fx, fy)):
-        diff = jnp.square(_unit_normalize(tx) - _unit_normalize(ty))
+    for i, t in enumerate(feats):
+        tn = _unit_normalize(t)
+        diff = jnp.square(tn[:b] - tn[b:])
         w = params[f"lin{i}"].astype(x.dtype)  # (C,) non-negative taps
         total = total + jnp.mean(jnp.sum(diff * w, axis=-1), axis=(1, 2))
     return total
