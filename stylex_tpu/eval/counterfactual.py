@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from stylex_tpu.attfind.extraction import AttFindRecords
-from stylex_tpu.eval.fid import fid_from_image_batches
 from stylex_tpu.models.stylex import StylExModules
 from stylex_tpu.ops.latents import expand_styles
 
@@ -185,17 +184,32 @@ def fid_topk(
         for start in range(0, arr.shape[0], batch_size):
             yield arr[start : start + batch_size]
 
+    from stylex_tpu.eval.fid import (
+        compute_feature_stats,
+        frechet_distance,
+        resolve_feature_fn,
+    )
+
+    # the originals' feature statistics are shared by every comparison —
+    # compute them once, not k+1 times
+    feature_fn = resolve_feature_fn(feature_fn)
+    mu_o, cov_o = compute_feature_stats(batches(originals), feature_fn)
+
+    def fid_vs_originals(imgs):
+        mu, cov = compute_feature_stats(batches(imgs), feature_fn)
+        return frechet_distance(mu_o, cov_o, mu, cov)
+
     # base generated set: encoder round-trip latents, no shifts
     generated = create_counterfactual_dataset(
         modules, params, classifier_fn, records, [], 0, shift_size, batch_size
     )
-    fids = [fid_from_image_batches(batches(originals), batches(generated), feature_fn)]
+    fids = [fid_vs_originals(generated)]
     for i in range(k):
         cf = create_counterfactual_dataset(
             modules, params, classifier_fn, records, s_indices_and_signs, i + 1,
             shift_size, batch_size,
         )
-        fids.append(fid_from_image_batches(batches(originals), batches(cf), feature_fn))
+        fids.append(fid_vs_originals(cf))
     if csv_path:
         Path(csv_path).parent.mkdir(parents=True, exist_ok=True)
         with open(csv_path, "w", newline="") as f:
