@@ -85,7 +85,7 @@ def _cast_tree(t, dtype):
     )(t)
 
 
-def _build(image_size: int, dtype):
+def _build(image_size: int, dtype, classifier: str = "mobilenet"):
     from stylex_tpu.config import ModelConfig
     from stylex_tpu.models import build_stylex, init_stylex_params
     from stylex_tpu.models.classifiers import build_classifier
@@ -93,19 +93,19 @@ def _build(image_size: int, dtype):
     cfg = ModelConfig(image_size=image_size)
     modules = build_stylex(cfg)
     params = init_stylex_params(jax.random.PRNGKey(0), modules, dtype=dtype)
-    clf = build_classifier("mobilenet", cfg.image_size)
+    clf = build_classifier(classifier, cfg.image_size)
     clf.variables = _cast_tree(clf.variables, dtype)
     return cfg, modules, params, clf
 
 
-def _sweep_inputs(image_size: int, dtype, N: int = 4):
+def _sweep_inputs(image_size: int, dtype, N: int = 4, classifier: str = "mobilenet"):
     """Shared device-resident inputs for the flat and resume sweep benches
     (N images resident, synthetic latents/coords). Inputs are built as one
     host-side program (eager op-by-op creation costs a remote compile per
     distinct shape through the relay)."""
     from stylex_tpu.utils.device import init_on_host
 
-    cfg, modules, params, clf = _build(image_size, dtype)
+    cfg, modules, params, clf = _build(image_size, dtype, classifier)
     C = modules.total_style_coords
 
     def build_inputs(key):
@@ -127,12 +127,13 @@ def bench_attfind(
     dtype,
     with_mfu: bool = True,
     n_pair: tuple[int, int] | None = None,
+    classifier: str = "mobilenet",
 ):
     """Slope-time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
     from stylex_tpu.attfind.extraction import _make_sweep_fn
 
     N = 4  # images resident on device
-    cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N)
+    cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N, classifier)
     w_all, noise, coords_all, minima, maxima, base = heavy
     sweep = _make_sweep_fn(modules, params, clf.classify_images, cfg, C, 1.0, None)
 
@@ -165,14 +166,15 @@ def bench_attfind(
     return styles_per_sec, mfu
 
 
-def bench_attfind_resume(image_size: int, coord_batch: int, dtype):
+def bench_attfind_resume(image_size: int, coord_batch: int, dtype,
+                         classifier: str = "mobilenet"):
     """Aggregate throughput of the SHIPPING block-resume sweep: per-block
     chunk latencies (slope-timed) weighted by each block's perturbation
     count, padding included (N=4 resident images, as above)."""
     from stylex_tpu.attfind.extraction import _capture_states, _make_resume_sweep_fn
 
     N = 4
-    cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N)
+    cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N, classifier)
     w_all, noise, coords_all, minima, maxima, base = heavy
     states = _capture_states(modules, params, cfg, w_all, noise, 64)
     total_t, total_p, offset = 0.0, 0, 0
@@ -287,6 +289,14 @@ def _run_extras(dtype, extras: dict, log) -> None:
         finally:
             os.environ.pop("STYLEX_TPU_NO_FUSED_UPCONV", None)
 
+    def resnet64():
+        # the reference CLI's default classifier (`cli.py:113`): ResNet-18
+        # with the 64->224 bilinear resize inside every perturbed forward
+        # (`resnet_classifier.py:61`) — the heavier published workload
+        v, _ = bench_attfind(64, coord_batch=308, dtype=dtype,
+                             with_mfu=False, classifier="resnet")
+        extras["attfind64_resnet_styles_per_sec"] = round(v, 1)
+
     def t64():
         v, dt, mfu = bench_train_step(64, batch=4, accum=8,
                                       dtype_name="float32", remat=False)
@@ -307,6 +317,7 @@ def _run_extras(dtype, extras: dict, log) -> None:
     gated("train64", t64)
     gated("attfind64_resume", resume64)
     gated("attfind64_unfused", unfused64)
+    gated("attfind64_resnet", resnet64)
     gated("attfind256", a256)
     gated("train256", t256)
     extras["skipped"] = skipped
