@@ -58,14 +58,21 @@ def main(argv=None) -> None:
     print(f"records: {n} images x {c} StyleSpace coordinates x 2 directions "
           f"({args.records})")
 
-    # rank enough for both the printed top-k report and the panel render —
-    # rank_styles truncates its return to num_indices
     ranked, per_class = rank_styles(
         records,
         num_classes=args.num_classes,
-        num_indices=max(args.num_indices, args.visualize_top),
+        num_indices=args.num_indices,
         effect_threshold=args.effect_threshold,
     )
+    if args.visualize_top > len(ranked):
+        # the greedy pool (and hence the merged scores) is defined by
+        # num_indices — silently rendering fewer panels than asked hides
+        # that; enlarging the pool instead would CHANGE the ranking
+        print(
+            f"warning: --visualize-top {args.visualize_top} exceeds the "
+            f"{len(ranked)} ranked styles (--num-indices {args.num_indices}); "
+            f"rendering {len(ranked)} panels — raise --num-indices for more"
+        )
 
     labels = np.argmax(records.base_prob, axis=1)
     for ci in range(args.num_classes):
