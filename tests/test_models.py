@@ -84,6 +84,24 @@ def test_fused_resample_paths_match_unfused(monkeypatch):
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_u), rtol=1e-4, atol=1e-4)
 
 
+def test_downconv_gate_mixed_channels(monkeypatch):
+    """capacity 16 @ 32px gives D filters [64, 128, 256, 512]: the 64/128
+    blocks take the fused 5x5 downconv, the 256/512 blocks the unfused
+    blur+conv (the static cout<=128 HBM-vs-MXU gate in models/layers.py).
+    Both mixes must equal the literal reference-shaped graph."""
+    for mode, kw in (("disc", {}), ("encoder", {"encoder_dim": 64})):
+        D = DiscriminatorE(image_size=32, network_capacity=16, mode=mode, **kw)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        dp = D.init(jax.random.PRNGKey(2), x)
+        got = D.apply(dp, x)
+        monkeypatch.setenv("STYLEX_TPU_NO_FUSED_UPCONV", "1")
+        want = D.apply(dp, x)
+        monkeypatch.delenv("STYLEX_TPU_NO_FUSED_UPCONV")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_style_delta_equals_bias_mutation():
     """Adding a one-hot delta must reproduce the reference's in-place
     ``to_style{1,2}.bias += shift`` trick (run_attfind_combined.ipynb cell 5)."""
