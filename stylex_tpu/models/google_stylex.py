@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stylex_tpu.ops.blur import upsample2x_bilinear
-from stylex_tpu.ops.modconv import modulated_conv2d
+from stylex_tpu.ops.modconv import modulated_conv2d, modulated_upsample_conv2d
 
 __all__ = ["GoogleStylExGenerator", "google_channels"]
 
@@ -192,17 +192,34 @@ class GoogleStylExGenerator:
         )
         rgb = None
         conv_i = 0
+        import os
+
         for res_i, res in enumerate(self.resolutions):
             n_convs = 1 if res == 4 else 2
             for k in range(n_convs):
-                if res != 4 and k == 0:
-                    x = upsample2x_bilinear(x)
                 p = params["convs"][conv_i]
                 # the affine output modulates directly (StyleGAN2 semantics);
                 # modulated_conv2d applies style+1, so subtract the offset
-                x = modulated_conv2d(
-                    x, p["weight"], conv_styles[conv_i] - 1.0, demod=True
-                )
+                if res != 4 and k == 0:
+                    if (
+                        p["weight"].shape[:2] == (3, 3)
+                        and x.shape[1] >= 2
+                        and not os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
+                    ):
+                        # upsample folded into the conv — one polyphase
+                        # coarse-grid pass (ops/modconv.py), same math
+                        x = modulated_upsample_conv2d(
+                            x, p["weight"], conv_styles[conv_i] - 1.0, demod=True
+                        )
+                    else:
+                        x = upsample2x_bilinear(x)
+                        x = modulated_conv2d(
+                            x, p["weight"], conv_styles[conv_i] - 1.0, demod=True
+                        )
+                else:
+                    x = modulated_conv2d(
+                        x, p["weight"], conv_styles[conv_i] - 1.0, demod=True
+                    )
                 x = jax.nn.leaky_relu(x + p["bias"].astype(x.dtype), 0.2)
                 conv_i += 1
             tp = params["torgbs"][res_i]
