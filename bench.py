@@ -306,8 +306,10 @@ def _run_extras(dtype, extras: dict, log) -> None:
             extras["train64_mfu"] = round(mfu, 4)
 
     def t256():
+        # honor the f32 fallback/env flag like every other extra
+        name = "float32" if dtype == jnp.float32 else "bfloat16"
         v, dt, mfu = bench_train_step(256, batch=4, accum=2,
-                                      dtype_name="bfloat16", remat=True)
+                                      dtype_name=name, remat=True)
         extras["train256_imgs_per_sec"] = round(v, 2)
         extras["train256_step_seconds"] = round(dt, 4)
         if mfu is not None:
@@ -400,14 +402,19 @@ def main() -> None:
     # the host CPU can't fit/compile the full 616-chunk program quickly
     chunk = 56 if cpu_fallback else 616
     n_pair = (1, 3) if cpu_fallback else None
+    f32_fallback = False
     try:
         styles64, _ = bench_attfind(
             64, coord_batch=chunk, dtype=dtype, with_mfu=False, n_pair=n_pair
         )
     except Exception:
-        # fall back to fp32 once; the primary line must land
+        # fall back to fp32 once; the primary line must land. Export the
+        # flag so the detached extras child inherits the working dtype
+        # instead of re-hitting the bf16 failure on every extra.
         traceback.print_exc(file=sys.stderr)
         dtype = jnp.float32
+        f32_fallback = True
+        os.environ["STYLEX_BENCH_F32"] = "1"
         styles64, _ = bench_attfind(
             64, coord_batch=chunk, dtype=dtype, with_mfu=False, n_pair=n_pair
         )
@@ -420,6 +427,8 @@ def main() -> None:
     }
     if cpu_fallback:
         line["device"] = "cpu-fallback (TPU relay unreachable)"
+    if f32_fallback:
+        line["dtype"] = "float32 (bf16 primary failed)"
     print(json.dumps(line), flush=True)
 
     # ---- extras run in a detached child; this process exits 0 now ----

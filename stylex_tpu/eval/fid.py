@@ -152,7 +152,25 @@ def resolve_feature_fn(
     comparable)."""
     if feature_fn is not None:
         if not hasattr(feature_fn, "tag"):
-            feature_fn.tag = getattr(feature_fn, "__name__", "custom")
+            # Auto-tags include id(): two distinct extractor instances that
+            # happen to share a function name must NOT share a cache key
+            # (stats from different weights are never comparable). Callers
+            # wanting cross-run stats reuse set a stable .tag themselves.
+            auto_tag = (
+                getattr(feature_fn, "__qualname__", None)
+                or getattr(feature_fn, "__name__", "custom")
+            ) + f"-{id(feature_fn):x}"
+            try:
+                feature_fn.tag = auto_tag
+            except AttributeError:
+                # bound methods / jitted wrappers reject attribute writes;
+                # wrap so the tag (cache key) can be attached
+                inner = feature_fn
+
+                def feature_fn(x, _inner=inner):
+                    return _inner(x)
+
+                feature_fn.tag = auto_tag
         return feature_fn
     try:
         from stylex_tpu.models.inception import default_pool3_features

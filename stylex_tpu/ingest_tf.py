@@ -124,9 +124,9 @@ class GoogleStylExTF:
         ]
 
     def sindex_to_layer_and_index(self, sindex: int) -> Tuple[int, int]:
-        cum = np.concatenate([[0], np.cumsum(self.layer_shapes)])
-        layer = int(np.flatnonzero(cum <= sindex)[-1])
-        return layer, int(sindex - cum[layer])
+        from stylex_tpu.models.google_stylex import sindex_to_layer_and_index
+
+        return sindex_to_layer_and_index(self.layer_shapes, sindex)
 
     def style_vectors(self, dlatents: np.ndarray) -> np.ndarray:
         """(B, total_style_coords) concatenated conv styles (cell 7)."""

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,19 @@ import numpy as np
 from stylex_tpu.ops.blur import upsample2x_bilinear
 from stylex_tpu.ops.modconv import modulated_conv2d, modulated_upsample_conv2d
 
-__all__ = ["GoogleStylExGenerator", "google_channels"]
+__all__ = ["GoogleStylExGenerator", "google_channels", "sindex_to_layer_and_index"]
+
+
+def sindex_to_layer_and_index(
+    layer_shapes: Sequence[int], sindex: int
+) -> Tuple[int, int]:
+    """Flat StyleSpace index -> (layer, within-layer index) given per-layer
+    style widths (the notebook's ``sindex_to_layer_idx_and_index`` over
+    ``LAYER_SHAPES``, cell 16). Shared by the JAX generator and the TF
+    SavedModel driver so both paths index StyleSpace identically."""
+    cum = np.concatenate([[0], np.cumsum(layer_shapes)])
+    layer = int(np.flatnonzero(cum <= sindex)[-1])
+    return layer, int(sindex - cum[layer])
 
 
 def google_channels(
@@ -113,9 +125,7 @@ class GoogleStylExGenerator:
     def sindex_to_layer_and_index(self, sindex: int) -> Tuple[int, int]:
         """Flat StyleSpace index -> (conv layer, within-layer index)
         (``sindex_to_layer_idx_and_index``, cell 16)."""
-        cum = np.concatenate([[0], np.cumsum(self.layer_shapes)])
-        layer = int(np.flatnonzero(cum <= sindex)[-1])
-        return layer, int(sindex - cum[layer])
+        return sindex_to_layer_and_index(self.layer_shapes, sindex)
 
     # ---------------------------------------------------------------- init
     def init_params(self, key: jax.Array) -> Dict:

@@ -137,35 +137,31 @@ def build_stylex_params(key: jax.Array, modules: StylExModules) -> Params:
     composing larger single-program inits (optimizer slots etc.) trace this
     directly."""
     cfg = modules.cfg
+    k_e, k_s, k_g, k_d = jax.random.split(key, 4)
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 4 if cfg.transparent else 3))
+    z = jnp.zeros((1, cfg.mapping_dim))
+    w = jnp.zeros((1, modules.num_layers, cfg.latent_dim))
+    noise = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
 
-    def build(k):
-        k_e, k_s, k_g, k_d = jax.random.split(k, 4)
-        img = jnp.zeros((1, cfg.image_size, cfg.image_size, 4 if cfg.transparent else 3))
-        z = jnp.zeros((1, cfg.mapping_dim))
-        w = jnp.zeros((1, modules.num_layers, cfg.latent_dim))
-        noise = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
+    enc_params = modules.encoder.init(k_e, img)["params"]
+    s_params = modules.S.init(k_s, z)["params"]
+    g_params = modules.G.init(k_g, w, noise)["params"]
+    if cfg.arch == Arch.NEW:
+        d_vars = modules.D.init(k_d, img, jnp.zeros((1, cfg.num_classes)))
+    else:
+        d_vars = modules.D.init(k_d, img)
 
-        enc_params = modules.encoder.init(k_e, img)["params"]
-        s_params = modules.S.init(k_s, z)["params"]
-        g_params = modules.G.init(k_g, w, noise)["params"]
-        if cfg.arch == Arch.NEW:
-            d_vars = modules.D.init(k_d, img, jnp.zeros((1, cfg.num_classes)))
-        else:
-            d_vars = modules.D.init(k_d, img)
-
-        out = {
-            "encoder": enc_params,
-            "S": s_params,
-            "G": g_params,
-            "D": d_vars["params"],
-            "SE": jax.tree.map(jnp.copy, s_params),
-            "GE": jax.tree.map(jnp.copy, g_params),
-        }
-        if "vq" in d_vars:
-            out["D_vq"] = d_vars["vq"]
-        return out
-
-    return build(key)
+    out = {
+        "encoder": enc_params,
+        "S": s_params,
+        "G": g_params,
+        "D": d_vars["params"],
+        "SE": jax.tree.map(jnp.copy, s_params),
+        "GE": jax.tree.map(jnp.copy, g_params),
+    }
+    if "vq" in d_vars:
+        out["D_vq"] = d_vars["vq"]
+    return out
 
 
 def make_w(cfg: ModelConfig, encoder_output: jax.Array, classifier_logits: jax.Array) -> jax.Array:

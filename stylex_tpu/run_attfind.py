@@ -116,6 +116,12 @@ def main(argv=None) -> None:
         {"ranked": ranked, "per_class": {str(k): v for k, v in per_class.items()}}
     ))
 
+    if args.visualize_top > len(ranked):
+        print(
+            f"warning: --visualize-top {args.visualize_top} exceeds the "
+            f"{len(ranked)} ranked styles (--num-indices {args.num_indices}); "
+            f"rendering {len(ranked)} panels — raise --num-indices for more"
+        )
     for direction, sindex in ranked[: args.visualize_top]:
         panel = visualize_style(
             modules, params, clf_fn, records, sindex, direction,

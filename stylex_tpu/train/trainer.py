@@ -349,14 +349,15 @@ class Trainer:
             # of pure dispatch latency; instead metrics stay in flight and
             # are drained (logged, NaN-checked) lagged. `metrics_lag` is a
             # bound in STEPS; each pending entry covers k steps, so allow
-            # metrics_lag // k dispatches in flight (min 1 — one multi-step
-            # dispatch is the granularity floor). Boundaries
+            # metrics_lag // k dispatches in flight (floored at one dispatch
+            # when pipelining is on; metrics_lag=0 disables it and drains
+            # synchronously, the reference's behavior). Boundaries
             # (save/evaluate/FID) and the first step drain fully, so
             # checkpoints are always NaN-checked and the returned metrics
             # are never empty.
             lag = (
                 0
-                if (boundary or not self._last_metrics)
+                if (boundary or not self._last_metrics or tc.metrics_lag == 0)
                 else max(1, tc.metrics_lag // k)
             )
             self._drain(lag)

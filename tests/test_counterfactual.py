@@ -129,3 +129,26 @@ def test_mobilenet_freeze_mask_shapes():
     mask_all = mobilenet_freeze_mask(variables["params"], freeze_all=True)
     assert jax.tree.leaves(mask_all["classifier"])[0]
     assert not jax.tree.leaves(mask_all["head"])[0]
+
+
+def test_resolve_feature_fn_accepts_bound_methods():
+    """Caller-provided extractors that reject attribute writes (bound
+    methods, jitted wrappers) must still come back tagged for the stats
+    cache instead of raising AttributeError."""
+    from stylex_tpu.eval.fid import resolve_feature_fn
+
+    class Extractor:
+        def features(self, x):
+            return x.reshape(x.shape[0], -1)
+
+    a, b = Extractor(), Extractor()
+    fn = resolve_feature_fn(a.features)
+    assert "Extractor.features-" in fn.tag
+    # distinct instances (different weights) must never share a cache key
+    assert fn.tag != resolve_feature_fn(b.features).tag
+    x = jnp.ones((2, 4, 4, 3))
+    assert fn(x).shape == (2, 48)
+
+    tagged = lambda x: x  # noqa: E731
+    tagged.tag = "mine"
+    assert resolve_feature_fn(tagged) is tagged

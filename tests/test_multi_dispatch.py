@@ -16,7 +16,7 @@ import pytest
 from stylex_tpu.config import ModelConfig, TrainConfig
 
 
-def _make_trainer(tmp_path, name, steps_per_dispatch, save_every=10**6):
+def _make_trainer(tmp_path, name, steps_per_dispatch, save_every=10**6, **tc_kwargs):
     from stylex_tpu.train.trainer import Trainer
 
     cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
@@ -27,6 +27,7 @@ def _make_trainer(tmp_path, name, steps_per_dispatch, save_every=10**6):
         save_every=save_every,
         evaluate_every=10**9,
         steps_per_dispatch=steps_per_dispatch,
+        **tc_kwargs,
     )
     trainer = Trainer(
         name=name, base_dir=str(tmp_path), model_cfg=cfg, train_cfg=tc,
@@ -100,3 +101,23 @@ def test_blocks_clamp_to_boundaries_and_log_every_step(tmp_path):
     assert [int(r["step"]) for r in rows] == list(range(9))
     assert all(np.isfinite(float(r["g_loss"])) for r in rows)
     t.loader.close()
+
+
+@pytest.mark.slow
+def test_metrics_lag_zero_is_synchronous(tmp_path):
+    """``metrics_lag=0`` is documented as the reference's synchronous
+    behavior (`config.py`): every train() drains its own step's metrics, so
+    nothing stays in flight and the returned metrics are the step just run."""
+    t = _make_trainer(tmp_path, "sync", steps_per_dispatch=1, metrics_lag=0)
+    for _ in range(3):
+        metrics = t.train()
+        assert len(t._pending) == 0
+        assert np.isfinite(metrics["g_loss"])
+    # contrast: the pipelined default keeps metrics in flight after the
+    # warm-up drain (first call drains fully because nothing was logged yet)
+    p = _make_trainer(tmp_path, "pipelined", steps_per_dispatch=1, metrics_lag=8)
+    p.train()
+    p.train()
+    assert len(p._pending) > 0
+    t.loader.close()
+    p.loader.close()
