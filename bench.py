@@ -281,13 +281,19 @@ def _run_extras(dtype, extras: dict, log) -> None:
 
     def unfused64():
         # A/B: the literal reference-shaped resample graph (the env flag is
-        # read at trace time, so rebuilding the sweep in-process suffices)
+        # read at trace time, so rebuilding the sweep in-process suffices).
+        # Restore any pre-existing value — popping would silently switch a
+        # user-forced unfused run back to fused for the remaining extras.
+        prior = os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
         os.environ["STYLEX_TPU_NO_FUSED_UPCONV"] = "1"
         try:
             v, _ = bench_attfind(64, coord_batch=616, dtype=dtype, with_mfu=False)
             extras["attfind64_unfused_styles_per_sec"] = round(v, 1)
         finally:
-            os.environ.pop("STYLEX_TPU_NO_FUSED_UPCONV", None)
+            if prior is None:
+                os.environ.pop("STYLEX_TPU_NO_FUSED_UPCONV", None)
+            else:
+                os.environ["STYLEX_TPU_NO_FUSED_UPCONV"] = prior
 
     def resnet64():
         # the reference CLI's default classifier (`cli.py:113`): ResNet-18

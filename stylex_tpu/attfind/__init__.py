@@ -12,6 +12,7 @@ from stylex_tpu.attfind.analysis import (
     merge_and_score,
     style_vector_distances,
     rank_styles,
+    warn_visualize_top,
 )
 from stylex_tpu.attfind.visualize import (
     generate_change_image_given_dlatent,
@@ -32,6 +33,7 @@ __all__ = [
     "merge_and_score",
     "style_vector_distances",
     "rank_styles",
+    "warn_visualize_top",
     "generate_change_image_given_dlatent",
     "generate_images_given_dlatent",
     "visualize_style",

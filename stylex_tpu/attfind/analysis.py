@@ -18,6 +18,7 @@ __all__ = [
     "merge_and_score",
     "style_vector_distances",
     "rank_styles",
+    "warn_visualize_top",
 ]
 
 
@@ -94,9 +95,12 @@ def find_significant_styles(
     while len(picked) < num_indices:
         active = images_effect < max_image_effect
         if not np.any(active):
-            # the reference's argmax over an empty selection would throw;
-            # fall back to all images, matching its practical usage where
-            # max_image_effect is generous
+            # DELIBERATE deviation: when every image saturates, the
+            # reference's mean over an empty selection is all-NaN and its
+            # argmax degenerates to flat index 0, so it appends
+            # (direction 0, sindex 0+offset) repeatedly (with a
+            # RuntimeWarning). Re-activating all images keeps the greedy
+            # scan meaningful instead of emitting that garbage tail.
             active = np.ones(num_images, bool)
         next_s = int(np.argmax(np.mean(effect[active], axis=0)))
         picked.append(next_s)
@@ -169,3 +173,16 @@ def rank_styles(
         )
     ranked = merge_and_score(records.style_change, per_class, num_indices)
     return ranked, per_class
+
+
+def warn_visualize_top(requested: int, num_ranked: int, num_indices: int) -> None:
+    """Shared CLI warning when more panels are asked for than the greedy
+    pool (bounded by ``num_indices`` per class) can rank. Enlarging the
+    pool silently instead would CHANGE the ranking, so the CLIs clamp and
+    say so (run_attfind / replay_results)."""
+    if requested > num_ranked:
+        print(
+            f"warning: --visualize-top {requested} exceeds the "
+            f"{num_ranked} ranked styles (--num-indices {num_indices}); "
+            f"rendering {num_ranked} panels — raise --num-indices for more"
+        )

@@ -182,13 +182,17 @@ def attfind_extraction(
     mesh=None,
     progress: bool = True,
     block_resume: bool = True,
+    num_images: Optional[int] = None,
 ) -> AttFindRecords:
     """Run the full AttFind extraction over a set of images.
 
     Args:
-      images: (N, S, S, 3) candidate images in [0, 1] (pre-decoded; more than
-        N may be passed when ``use_discriminator`` filters some out — the
-        first N survivors are kept, like the notebook's streaming loop).
+      images: (N, S, S, 3) candidate images in [0, 1] (pre-decoded; pass
+        more than ``num_images`` when ``use_discriminator`` filters some out
+        — the first ``num_images`` survivors are kept, like the notebook's
+        streaming loop; a warning is printed when fewer survive).
+      num_images: cap on images entering the sweep (after the discriminator
+        filter); None sweeps every survivor.
       noise: (1, S, S, 1) fixed noise image shared by every forward (cell 7).
       shift_size: multiplier on (extreme - current) shifts.
       discriminator_threshold: keep images whose D score is *below* the
@@ -230,6 +234,17 @@ def attfind_extraction(
             raise ValueError("No images pass the threshold check")
         images, w_all, coords_all, d_all, logits_all = (
             images[keep], w_all[keep], coords_all[keep], d_all[keep], logits_all[keep]
+        )
+    if num_images is not None:
+        if images.shape[0] < num_images:
+            print(
+                f"attfind: only {images.shape[0]} of the requested "
+                f"{num_images} images survive the discriminator filter — "
+                f"pass a larger candidate pool"
+            )
+        images, w_all, coords_all, d_all, logits_all = (
+            images[:num_images], w_all[:num_images], coords_all[:num_images],
+            d_all[:num_images], logits_all[:num_images],
         )
     N = images.shape[0]
 

@@ -69,9 +69,12 @@ def generate_images_given_dlatent(
     modules, params, classifier_fn, dlatent, noise, records,
     sindex: int, direction: int, shift_size: float = 1.0, class_index: int = 0,
     image_index: Optional[int] = None, draw_probs: bool = True,
+    return_probs: bool = False,
 ):
     """Side-by-side (base, perturbed) panel with probability captions
-    (cells 18-19). Returns an (H, 2W, 3) uint8 array."""
+    (cells 18-19). Returns an (H, 2W, 3) uint8 array, or
+    ``(panel, base_prob, change_prob)`` with ``return_probs`` (the
+    reference's 3-tuple return that cell 20 filters on)."""
     from stylex_tpu.utils.image import to_uint8
 
     w = jnp.asarray(dlatent)[None]
@@ -82,8 +85,11 @@ def generate_images_given_dlatent(
     )
     panel = np.concatenate([np.asarray(base_img[0]), pert_img], axis=1)
     panel = to_uint8(panel[None])[0]
+    base_prob = float(base_probs[0, class_index])
     if draw_probs:
-        panel = _caption(panel, f"{float(base_probs[0, class_index]):.2f} -> {pert_prob:.2f}")
+        panel = _caption(panel, f"{base_prob:.2f} -> {pert_prob:.2f}")
+    if return_probs:
+        return panel, base_prob, pert_prob
     return panel
 
 
@@ -103,21 +109,41 @@ def visualize_style(
     modules, params, classifier_fn, records: AttFindRecords,
     sindex: int, direction: int, shift_size: float = 1.0, class_index: int = 0,
     effect_threshold: float = 0.1, max_images: int = 10, min_images: int = 3,
+    seed: Optional[int] = None, allow_both_directions_change: bool = False,
 ) -> Optional[np.ndarray]:
     """Render panels for images where this style's effect exceeds the
-    threshold (cell 20); returns None when fewer than ``min_images`` qualify."""
+    threshold (cell 20); returns None when fewer than ``min_images`` qualify.
+
+    Matches the reference's candidate flow: shuffle the qualifying images
+    (optionally seeded), over-sample ``max_images*10`` candidates, and keep
+    a panel only if the REALIZED probability change of the re-generated
+    counterfactual is at least ``effect_threshold`` — the recorded effect is
+    a necessary but not sufficient condition (e.g. saturated softmax)."""
     effects = records.style_change[:, direction, sindex, class_index]
-    chosen = np.flatnonzero(effects > effect_threshold)[:max_images]
-    if len(chosen) < min_images:
+    if allow_both_directions_change:
+        images_idx = np.flatnonzero(np.abs(effects) > effect_threshold)
+    else:
+        images_idx = np.flatnonzero(effects > effect_threshold)
+    if images_idx.size == 0:
         return None
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    rng.shuffle(images_idx)
+    images_idx = images_idx[: min(max_images * 10, len(images_idx))]
+
     rows = []
-    for i in chosen:
-        rows.append(
-            generate_images_given_dlatent(
-                modules, params, classifier_fn, records.latents[i], records.noise, records,
-                sindex, direction, shift_size, class_index, image_index=int(i),
-            )
+    for i in images_idx:
+        panel, base_prob, change_prob = generate_images_given_dlatent(
+            modules, params, classifier_fn, records.latents[i], records.noise, records,
+            sindex, direction, shift_size, class_index, image_index=int(i),
+            return_probs=True,
         )
+        if abs(change_prob - base_prob) < effect_threshold:
+            continue
+        rows.append(panel)
+        if len(rows) == max_images:
+            break
+    if len(rows) < min_images:
+        return None
     return np.concatenate(rows, axis=0)
 
 

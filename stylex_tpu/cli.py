@@ -182,10 +182,17 @@ def train_from_folder(
         classifier_name=classifier_name,
         classifier_path=classifier_path,
         lpips_path=lpips_path,
-        tensorboard_dir=tensorboard_dir if log or tensorboard_dir else None,
+        tensorboard_dir=tensorboard_dir,
         seed=seed,
         clear_fid_cache=clear_fid_cache,
     )
+    if log:
+        # reference `log=True` enables the aim sink (`stylex_train.py:1151`);
+        # its role here is filled by the always-on metrics CSV
+        print(
+            "[stylex_tpu] --log: the aim sink is replaced by the metrics CSV "
+            f"(results/{name}/metrics.csv), which is always on"
+        )
 
     if generate:
         trainer.load(load_from)

@@ -37,31 +37,18 @@ __all__ = [
 ]
 
 
-def _discriminator_filter(
-    modules, params, classifier_fn, records: AttFindRecords,
-    sindex: int, class_index: int, num_images: int = 10,
-    change_threshold: float = 0.5, shift_size: float = 2.0,
-    effect_threshold: float = 0.2,
-) -> bool:
-    """True if the style passes: no probe image's D score moves more than
-    ``change_threshold`` when the coordinate is pushed to its extreme
-    (cell 11). Probes run as one batched forward per direction."""
-    C = records.style_change.shape[2]
-    noise = jnp.asarray(records.noise)
-    for direction in range(2):
-        effects = records.style_change[:, direction, sindex, class_index]
-        idx = np.flatnonzero(effects > effect_threshold)[:num_images]
-        if len(idx) == 0:
-            continue
-        w = jnp.asarray(records.latents[idx])
+def _make_probe_fn(modules, params, classifier_fn):
+    """ONE jitted D-score probe for the rejection filter: eager op-by-op
+    forwards cost a remote compile per op shape on relayed TPUs
+    (utils/device.py), turning the greedy search into minutes per
+    candidate. Probe batches are padded to a fixed size by the caller, so
+    every candidate reuses the same compiled program."""
+
+    @jax.jit
+    def probe(w, noise_b, deltas):
         w_styles = expand_styles(w, modules.num_layers)
-        noise_b = jnp.broadcast_to(noise, (len(idx),) + noise.shape[1:])
-        extreme = records.minima[sindex] if direction == 0 else records.maxima[sindex]
-        shifts = (extreme - records.style_coordinates[idx, sindex]) * shift_size
-        deltas = np.zeros((len(idx), C), np.float32)
-        deltas[:, sindex] = shifts
         base, _ = modules.generate(params, w_styles, noise_b)
-        pert, _ = modules.generate(params, w_styles, noise_b, style_delta=jnp.asarray(deltas))
+        pert, _ = modules.generate(params, w_styles, noise_b, style_delta=deltas)
         if modules.cfg.arch.value == "new":
             probs_b = jax.nn.softmax(classifier_fn(base), axis=-1)
             probs_p = jax.nn.softmax(classifier_fn(pert), axis=-1)
@@ -70,7 +57,39 @@ def _discriminator_filter(
         else:
             d_base = modules.discriminate(params, base)
             d_pert = modules.discriminate(params, pert)
-        if bool(jnp.any(jnp.abs(d_base - d_pert) > change_threshold)):
+        return jnp.abs(d_base - d_pert)
+
+    return probe
+
+
+def _discriminator_filter(
+    modules, params, classifier_fn, records: AttFindRecords,
+    sindex: int, class_index: int, num_images: int = 10,
+    change_threshold: float = 0.5, shift_size: float = 2.0,
+    effect_threshold: float = 0.2, probe_fn=None,
+) -> bool:
+    """True if the style passes: no probe image's D score moves more than
+    ``change_threshold`` when the coordinate is pushed to its extreme
+    (cell 11). Probes run as one jitted batched forward per direction."""
+    C = records.style_change.shape[2]
+    noise = jnp.asarray(records.noise)
+    if probe_fn is None:
+        probe_fn = _make_probe_fn(modules, params, classifier_fn)
+    for direction in range(2):
+        effects = records.style_change[:, direction, sindex, class_index]
+        idx = np.flatnonzero(effects > effect_threshold)[:num_images]
+        if len(idx) == 0:
+            continue
+        # pad to the fixed probe size (duplicates can't change the any())
+        idx = np.concatenate([idx, np.full(num_images - len(idx), idx[0])])
+        w = jnp.asarray(records.latents[idx])
+        noise_b = jnp.broadcast_to(noise, (len(idx),) + noise.shape[1:])
+        extreme = records.minima[sindex] if direction == 0 else records.maxima[sindex]
+        shifts = (extreme - records.style_coordinates[idx, sindex]) * shift_size
+        deltas = np.zeros((len(idx), C), np.float32)
+        deltas[:, sindex] = shifts
+        moves = probe_fn(w, noise_b, jnp.asarray(deltas))
+        if bool(jnp.any(moves > change_threshold)):
             return False
     return True
 
@@ -95,10 +114,16 @@ def find_significant_styles_filtered(
     effect4 = records.style_change
     num_images, _, C, _ = effect4.shape
     effect = np.maximum(0.0, effect4[:, :, :, class_index]).reshape(num_images, -1)
+    # termination guards (rejections zero columns without picking, so the
+    # greedy loop can exhaust StyleSpace before reaching num_indices):
+    # never ask for more picks than columns, and stop once no positive
+    # effect remains anywhere — argmax would emit duplicate (0, 0) picks
+    num_indices = min(num_indices, effect.shape[1])
     images_effect = np.zeros(num_images)
     picks: List[int] = []
     removed: List[int] = []
-    while len(picks) < num_indices:
+    probe_fn = None
+    while len(picks) < num_indices and effect.max() > 0.0:
         active = images_effect < max_image_effect
         if not np.any(active):
             active = np.ones(num_images, bool)
@@ -107,9 +132,11 @@ def find_significant_styles_filtered(
         if use_discriminator and modules is not None:
             if sindex == 0 and effect[:, next_s].max() == 0.0:
                 break
+            if probe_fn is None:
+                probe_fn = _make_probe_fn(modules, params, classifier_fn)
             if not _discriminator_filter(
                 modules, params, classifier_fn, records, sindex, class_index,
-                change_threshold=discriminator_threshold,
+                change_threshold=discriminator_threshold, probe_fn=probe_fn,
             ):
                 effect[:, next_s] = 0.0
                 removed.append(sindex)
@@ -129,6 +156,7 @@ def create_counterfactual_dataset(
     k: int,
     shift_size: float = 1.0,
     batch_size: int = 32,
+    gen_fn=None,
 ) -> np.ndarray:
     """Apply the top-k attribute shifts jointly to every image (cell 20).
 
@@ -149,19 +177,38 @@ def create_counterfactual_dataset(
     for direction, sindex in picks:
         eff_dir = np.where(flip, 1 - direction, direction)
         extreme = np.where(eff_dir == 0, records.minima[sindex], records.maxima[sindex])
-        deltas[:, sindex] += (extreme - records.style_coordinates[:, sindex]) * shift_size
+        # shifts COMPOUND: the notebook re-reads the style vector after each
+        # bias assign_add (cell 20 recomputes s_vals inside the picks loop),
+        # so a pick targeting an already-shifted coordinate lands exactly at
+        # its extreme instead of overshooting by the earlier shift
+        current = records.style_coordinates[:, sindex] + deltas[:, sindex]
+        deltas[:, sindex] += (extreme - current) * shift_size
 
+    if gen_fn is None:
+        gen_fn = _make_counterfactual_gen_fn(modules, params)
     noise = jnp.asarray(records.noise)
     outs = []
     for start in range(0, N, batch_size):
         w = jnp.asarray(records.latents[start : start + batch_size])
-        w_styles = expand_styles(w, modules.num_layers)
         noise_b = jnp.broadcast_to(noise, (w.shape[0],) + noise.shape[1:])
-        imgs, _ = modules.generate(
-            params, w_styles, noise_b, style_delta=jnp.asarray(deltas[start : start + batch_size])
+        outs.append(
+            np.asarray(gen_fn(w, noise_b, jnp.asarray(deltas[start : start + batch_size])))
         )
-        outs.append(np.asarray(jnp.clip(imgs, 0.0, 1.0)))
     return np.concatenate(outs)
+
+
+def _make_counterfactual_gen_fn(modules, params):
+    """One jitted generator forward shared by all k+1 fid_topk passes —
+    per-call eager forwards would pay remote compiles per op shape on
+    relayed TPUs (utils/device.py)."""
+
+    @jax.jit
+    def gen(w, noise_b, deltas):
+        w_styles = expand_styles(w, modules.num_layers)
+        imgs, _ = modules.generate(params, w_styles, noise_b, style_delta=deltas)
+        return jnp.clip(imgs, 0.0, 1.0)
+
+    return gen
 
 
 def fid_topk(
@@ -200,14 +247,16 @@ def fid_topk(
         return frechet_distance(mu_o, cov_o, mu, cov)
 
     # base generated set: encoder round-trip latents, no shifts
+    gen_fn = _make_counterfactual_gen_fn(modules, params)
     generated = create_counterfactual_dataset(
-        modules, params, classifier_fn, records, [], 0, shift_size, batch_size
+        modules, params, classifier_fn, records, [], 0, shift_size, batch_size,
+        gen_fn=gen_fn,
     )
     fids = [fid_vs_originals(generated)]
     for i in range(k):
         cf = create_counterfactual_dataset(
             modules, params, classifier_fn, records, s_indices_and_signs, i + 1,
-            shift_size, batch_size,
+            shift_size, batch_size, gen_fn=gen_fn,
         )
         fids.append(fid_vs_originals(cf))
     if csv_path:

@@ -19,6 +19,7 @@ Feature extractors are pluggable:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Iterable, Optional
 
 import jax
@@ -36,22 +37,28 @@ __all__ = [
 
 
 class FeatureStats:
-    """Streaming mean/covariance accumulator (device-side sums)."""
+    """Streaming mean/covariance accumulator.
+
+    Sums accumulate on the HOST in float64: the ``outer - n*mu*mu``
+    cancellation in :meth:`finalize` loses digits in float32 over
+    thousands of samples, and pytorch_fid (the parity target,
+    `stylex_train.py:1622`) accumulates in float64. The per-batch fetch of
+    a (B, dim) feature block is negligible next to the extractor forward."""
 
     def __init__(self, dim: int):
         self.n = 0
-        self.sum = jnp.zeros((dim,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        self.outer = jnp.zeros((dim, dim), self.sum.dtype)
+        self.sum = np.zeros((dim,), np.float64)
+        self.outer = np.zeros((dim, dim), np.float64)
 
-    def update(self, feats: jax.Array) -> None:
-        f = feats.astype(self.sum.dtype)
+    def update(self, feats) -> None:
+        f = np.asarray(feats, np.float64)
         self.n += f.shape[0]
-        self.sum = self.sum + jnp.sum(f, axis=0)
-        self.outer = self.outer + f.T @ f
+        self.sum += f.sum(axis=0)
+        self.outer += f.T @ f
 
     def finalize(self):
-        mu = np.asarray(self.sum) / self.n
-        cov = (np.asarray(self.outer) - self.n * np.outer(mu, mu)) / max(self.n - 1, 1)
+        mu = self.sum / self.n
+        cov = (self.outer - self.n * np.outer(mu, mu)) / max(self.n - 1, 1)
         return mu, cov
 
 
@@ -177,6 +184,11 @@ def resolve_feature_fn(
 
         feature_fn = default_pool3_features()
     except Exception:
+        # an explicitly requested weights path must fail loudly (its
+        # docstring's contract); only an UNSET path degrades to the
+        # self-consistent random-feature fallback
+        if os.environ.get("STYLEX_TPU_INCEPTION"):
+            raise
         feature_fn = None
     if feature_fn is not None:
         feature_fn.tag = "inception_v3_pool3"
@@ -197,4 +209,6 @@ def compute_feature_stats(
         if stats is None:
             stats = FeatureStats(feats.shape[-1])
         stats.update(feats)
+    if stats is None:
+        raise ValueError("compute_feature_stats: the batch stream is empty")
     return stats.finalize()

@@ -35,6 +35,10 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from stylex_tpu.models.google_stylex import (
+    sindex_to_layer_and_index as sindex_to_layer_and_index_shared,
+)
+
 __all__ = [
     "describe_savedmodel",
     "GoogleStylExTF",
@@ -124,9 +128,7 @@ class GoogleStylExTF:
         ]
 
     def sindex_to_layer_and_index(self, sindex: int) -> Tuple[int, int]:
-        from stylex_tpu.models.google_stylex import sindex_to_layer_and_index
-
-        return sindex_to_layer_and_index(self.layer_shapes, sindex)
+        return sindex_to_layer_and_index_shared(self.layer_shapes, sindex)
 
     def style_vectors(self, dlatents: np.ndarray) -> np.ndarray:
         """(B, total_style_coords) concatenated conv styles (cell 7)."""
@@ -180,6 +182,7 @@ class GoogleStylExTF:
         tf = _tf()
         picks = list(s_indices_and_signs)[:k]
         blocks = self.generator.style_vector_calculator.style_dense_blocks
+        layer_shapes = self.layer_shapes  # invariant; the property walks TF vars
         out = []
         for latent in latents:
             latent = latent[None]
@@ -187,14 +190,18 @@ class GoogleStylExTF:
                 np.transpose(self.call_synthesis(latent), (0, 2, 3, 1))
             )
             flip = int(np.argmax(base_prob)) == 0
-            s_vals = self.style_vectors(latent)[0]
 
             applied = []
             for direction, sindex in picks:
-                layer_idx, weight_idx = self.sindex_to_layer_and_index(sindex)
-                layer_size = self.layer_shapes[layer_idx]
+                layer_idx, weight_idx = sindex_to_layer_and_index_shared(
+                    layer_shapes, sindex
+                )
+                layer_size = layer_shapes[layer_idx]
                 to_min = (direction == 0) != flip
                 extreme = style_min[sindex] if to_min else style_max[sindex]
+                # re-read INSIDE the loop, like cell 20: earlier assign_adds
+                # already moved this coordinate, so shifts compound
+                s_vals = self.style_vectors(latent)[0]
                 shift = (extreme - s_vals[sindex]) * shift_size
                 one_hot = shift * tf.expand_dims(
                     tf.one_hot(weight_idx, layer_size), axis=0

@@ -197,12 +197,14 @@ class ClassifierBundle:
     resized per classifier family, ImageNet-normalised, then the network.
     """
 
-    def __init__(self, kind: str, apply_fn, variables, image_size: int, normalize: bool = True):
+    def __init__(self, kind: str, apply_fn, variables, image_size: int,
+                 normalize: bool = True, num_classes: int = 2):
         self.kind = kind
         self.apply_fn = apply_fn
         self.variables = variables
         self.image_size = image_size
         self.normalize = normalize
+        self.num_classes = num_classes
 
     def classify_images(self, images: jax.Array) -> jax.Array:
         """(B, H, W, 3) in [0,1] -> (B, num_classes) logits."""
@@ -275,7 +277,7 @@ def build_classifier(
     def apply_fn(vars_, x):
         return model.apply(vars_, x, train=False)
 
-    return ClassifierBundle(kind, apply_fn, variables, image_size)
+    return ClassifierBundle(kind, apply_fn, variables, image_size, num_classes=num_classes)
 
 
 # --------------------------------------------------------------------------

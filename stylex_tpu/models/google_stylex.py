@@ -54,6 +54,10 @@ def sindex_to_layer_and_index(
     ``LAYER_SHAPES``, cell 16). Shared by the JAX generator and the TF
     SavedModel driver so both paths index StyleSpace identically."""
     cum = np.concatenate([[0], np.cumsum(layer_shapes)])
+    if not 0 <= sindex < cum[-1]:
+        raise IndexError(
+            f"sindex {sindex} outside StyleSpace [0, {int(cum[-1])})"
+        )
     layer = int(np.flatnonzero(cum <= sindex)[-1])
     return layer, int(sindex - cum[layer])
 

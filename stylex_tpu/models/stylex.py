@@ -54,7 +54,10 @@ class StylExModules:
 
     # --- thin apply wrappers -------------------------------------------------
     def encode(self, params, images):
-        return self.encoder.apply({"params": params["encoder"]}, images)
+        variables = {"params": params["encoder"]}
+        if "E_vq" in params:  # encoder quantize layers (fq_layers configs)
+            variables["vq"] = params["E_vq"]
+        return self.encoder.apply(variables, images)
 
     def map_z(self, params, z, ema: bool = False):
         return self.S.apply({"params": params["SE" if ema else "S"]}, z)
@@ -77,6 +80,8 @@ class StylExModules:
 
 def build_stylex(cfg: ModelConfig) -> StylExModules:
     if cfg.encoder_class is None:
+        # the reference's encoder shares D's trunk config INCLUDING the
+        # feature-quantize layers (`stylex_train.py:923-925`)
         encoder = DiscriminatorE(
             image_size=cfg.image_size,
             network_capacity=cfg.network_capacity,
@@ -85,6 +90,8 @@ def build_stylex(cfg: ModelConfig) -> StylExModules:
             mode="encoder",
             encoder_dim=cfg.encoder_dim,
             fmap_max=cfg.fmap_max,
+            fq_layers=tuple(cfg.fq_layers),
+            fq_dict_size=cfg.fq_dict_size,
         )
     else:
         encoder = encoder_registry[cfg.encoder_class]()
@@ -143,7 +150,7 @@ def build_stylex_params(key: jax.Array, modules: StylExModules) -> Params:
     w = jnp.zeros((1, modules.num_layers, cfg.latent_dim))
     noise = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
 
-    enc_params = modules.encoder.init(k_e, img)["params"]
+    enc_vars = modules.encoder.init(k_e, img)
     s_params = modules.S.init(k_s, z)["params"]
     g_params = modules.G.init(k_g, w, noise)["params"]
     if cfg.arch == Arch.NEW:
@@ -152,7 +159,7 @@ def build_stylex_params(key: jax.Array, modules: StylExModules) -> Params:
         d_vars = modules.D.init(k_d, img)
 
     out = {
-        "encoder": enc_params,
+        "encoder": enc_vars["params"],
         "S": s_params,
         "G": g_params,
         "D": d_vars["params"],
@@ -161,6 +168,8 @@ def build_stylex_params(key: jax.Array, modules: StylExModules) -> Params:
     }
     if "vq" in d_vars:
         out["D_vq"] = d_vars["vq"]
+    if "vq" in enc_vars:
+        out["E_vq"] = enc_vars["vq"]
     return out
 
 

@@ -51,7 +51,7 @@ def main(argv=None) -> None:
     p.add_argument("--max-images", type=int, default=10)
     args = p.parse_args(argv)
 
-    from stylex_tpu.attfind import load_records_hdf5, rank_styles
+    from stylex_tpu.attfind import load_records_hdf5, rank_styles, warn_visualize_top
 
     records = load_records_hdf5(args.records)
     n, _, c, k = records.style_change.shape
@@ -64,15 +64,7 @@ def main(argv=None) -> None:
         num_indices=args.num_indices,
         effect_threshold=args.effect_threshold,
     )
-    if args.visualize_top > len(ranked):
-        # the greedy pool (and hence the merged scores) is defined by
-        # num_indices — silently rendering fewer panels than asked hides
-        # that; enlarging the pool instead would CHANGE the ranking
-        print(
-            f"warning: --visualize-top {args.visualize_top} exceeds the "
-            f"{len(ranked)} ranked styles (--num-indices {args.num_indices}); "
-            f"rendering {len(ranked)} panels — raise --num-indices for more"
-        )
+    warn_visualize_top(args.visualize_top, len(ranked), args.num_indices)
 
     labels = np.argmax(records.base_prob, axis=1)
     for ci in range(args.num_classes):

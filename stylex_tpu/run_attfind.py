@@ -45,6 +45,13 @@ def main(argv=None) -> None:
                    help="render counterfactual panels for the top-N styles")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
+    if args.use_discriminator and args.discriminator_threshold is None:
+        # extraction only filters when a threshold is given; silently
+        # keeping every image would defeat the flag's purpose
+        p.error(
+            "--use-discriminator needs --discriminator-threshold "
+            "(the reference uses -0.5 for the plant model, notebook cell 7)"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -53,6 +60,7 @@ def main(argv=None) -> None:
         attfind_extraction,
         rank_styles,
         save_records_hdf5,
+        warn_visualize_top,
         visualize_style,
     )
     from stylex_tpu.data.dataset import FolderDataset
@@ -76,7 +84,10 @@ def main(argv=None) -> None:
     else:
         ds = FolderDataset(args.data, cfg.image_size)
     n = min(args.num_images, len(ds))
-    images = np.stack([ds[i] for i in range(n)])
+    # with the D filter, over-sample candidates so the sweep still gets n
+    # survivors (the notebook streams the dataset until n pass, cell 5)
+    pool = min(4 * n, len(ds)) if args.use_discriminator else n
+    images = np.stack([ds[i] for i in range(pool)])
 
     # the fixed noise image shared by every forward (notebook cell 7)
     noise = np.asarray(
@@ -91,6 +102,7 @@ def main(argv=None) -> None:
         shift_size=args.shift_size,
         discriminator_threshold=args.discriminator_threshold,
         use_discriminator=args.use_discriminator,
+        num_images=n,
         coord_batch=args.coord_batch,
         mesh=trainer.mesh if len(trainer.mesh.devices.flat) > 1 else None,
         block_resume=not args.no_block_resume,
@@ -116,12 +128,7 @@ def main(argv=None) -> None:
         {"ranked": ranked, "per_class": {str(k): v for k, v in per_class.items()}}
     ))
 
-    if args.visualize_top > len(ranked):
-        print(
-            f"warning: --visualize-top {args.visualize_top} exceeds the "
-            f"{len(ranked)} ranked styles (--num-indices {args.num_indices}); "
-            f"rendering {len(ranked)} panels — raise --num-indices for more"
-        )
+    warn_visualize_top(args.visualize_top, len(ranked), args.num_indices)
     for direction, sindex in ranked[: args.visualize_top]:
         panel = visualize_style(
             modules, params, clf_fn, records, sindex, direction,

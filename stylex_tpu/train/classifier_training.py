@@ -66,7 +66,7 @@ def mobilenet_freeze_mask(params: Dict[str, Any], amount_frozen_layers: int = 15
             feat_index = int(name[5:]) + 1
             return feat_index >= amount_frozen_layers
         if name == "head":
-            return 19 > amount_frozen_layers >= 0 and amount_frozen_layers <= 18
+            return 0 <= amount_frozen_layers <= 18
         return True  # classifier
 
     return {
@@ -206,8 +206,14 @@ class ClassifierTrainer:
             stages: Optional[Sequence[Callable[[str], bool]]] = None) -> Dict[str, float]:
         """Best-val training loop (`train_model`,
         `train_mobilenet_classifier.py:58-149`); optional progressive
-        unfreeze stages, one stage per epoch (CelebA notebook cells 11-13)."""
-        best_val = 0.0
+        unfreeze stages, one stage per epoch (CelebA notebook cells 11-13).
+
+        ``train_loader_fn`` may accept the epoch index — used to reshuffle
+        per epoch, the reference's ``DataLoader(shuffle=True)`` behavior;
+        zero-arg callables work unchanged."""
+        # -1 so the first epoch always checkpoints: an all-zero validation
+        # accuracy would otherwise never write the file self.load() reads
+        best_val = -1.0
         history = {}
         for epoch in range(epochs):
             if stages is not None:
@@ -215,8 +221,15 @@ class ClassifierTrainer:
             elif self._tx is None:
                 self.set_trainable()
             t0 = time.time()
-            train_loss = self.train_epoch(train_loader_fn(), epoch)
-            train_acc = self.evaluate(train_loader_fn())
+
+            def _train_loader():
+                try:
+                    return train_loader_fn(epoch)
+                except TypeError:
+                    return train_loader_fn()
+
+            train_loss = self.train_epoch(_train_loader(), epoch)
+            train_acc = self.evaluate(_train_loader())
             val_acc = self.evaluate(valid_loader_fn())
             print(f"epoch {epoch}: loss {train_loss:.4f}, train acc {train_acc:.4f}, "
                   f"val acc {val_acc:.4f} ({(time.time() - t0) / 60:.2f} min)")
@@ -227,8 +240,9 @@ class ClassifierTrainer:
                 best_val = val_acc
                 self.save(checkpoint_path)
             history[f"epoch_{epoch}"] = {"loss": train_loss, "train_acc": train_acc, "val_acc": val_acc}
-        self.load(checkpoint_path)
-        history["best_val_accuracy"] = best_val
+        if best_val >= 0.0:  # at least one epoch ran, so the file exists
+            self.load(checkpoint_path)
+        history["best_val_accuracy"] = max(best_val, 0.0)
         return history
 
     def test(self, test_loader_fn, results_path: Optional[str] = None) -> Dict[str, float]:

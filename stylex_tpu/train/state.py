@@ -72,7 +72,9 @@ def create_train_state(
 
     def build(k):
         all_params = build_stylex_params(k, modules)
-        keys = ["encoder", "S", "G", "D"] + (["D_vq"] if "D_vq" in all_params else [])
+        keys = ["encoder", "S", "G", "D"] + [
+            k2 for k2 in ("D_vq", "E_vq") if k2 in all_params
+        ]
         params = {k2: all_params[k2] for k2 in keys}
         ema_params = {k2: all_params[k2] for k2 in ("SE", "GE")}
         g_opt_state = g_tx.init({k2: params[k2] for k2 in ("encoder", "S", "G")})

@@ -127,7 +127,6 @@ def make_train_step(
     train_cfg: TrainConfig,
     g_tx,
     d_tx,
-    dataset_size: Optional[int] = None,
 ):
     """Build the jitted train step.
 
@@ -254,26 +253,27 @@ def make_train_step(
                     if probs is not None
                     else None
                 )
-                scores = modules.discriminate(p, both, probs2).astype(jnp.float32)
-                fake_scores, real_scores = scores[:batch], scores[batch:]
-                real_fn = lambda im: d_score(p, cast(im), probs, k_augr).astype(jnp.float32)
                 q_loss = jnp.zeros(())
                 if cfg.fq_layers:
-                    # feature-quantization commitment losses on both passes
-                    # (`stylex_train_new.py:1381-1385` intent; dropped there)
-                    def q_of(images, key):
-                        variables = {"params": p["D"], "vq": params["D_vq"]}
-                        aug = augment_for_discriminator(key, images, aug_prob, aug_types)
-                        args = (aug, probs) if cfg.arch == Arch.NEW else (aug,)
-                        _, inter = modules.D.apply(
-                            variables, *args, mutable=["intermediates"]
-                        )
-                        return sum(
-                            jnp.sum(v)
-                            for v in jax.tree.leaves(inter["intermediates"])
-                        )
-
-                    q_loss = q_of(cast(fake), k_augf) + q_of(cast(real_img), k_augr)
+                    # feature-quantization commitment losses
+                    # (`stylex_train_new.py:1381-1385` intent; dropped
+                    # there), sown by the SAME batched trunk pass that
+                    # scores [aug(fake); aug(real)] — no extra D forwards.
+                    # vector_quantize means over the combined 2B batch, so
+                    # 2x restores the separate fake-pass + real-pass sum.
+                    variables = {"params": p["D"], "vq": p["D_vq"]}
+                    args = (both, probs2) if cfg.arch == Arch.NEW else (both,)
+                    scores, inter = modules.D.apply(
+                        variables, *args, mutable=["intermediates"]
+                    )
+                    scores = scores.astype(jnp.float32)
+                    q_loss = 2.0 * sum(
+                        jnp.sum(v) for v in jax.tree.leaves(inter["intermediates"])
+                    )
+                else:
+                    scores = modules.discriminate(p, both, probs2).astype(jnp.float32)
+                fake_scores, real_scores = scores[:batch], scores[batch:]
+                real_fn = lambda im: d_score(p, cast(im), probs, k_augr).astype(jnp.float32)
                 r, f = real_scores, fake_scores
                 if tc.rel_disc_loss:
                     r = real_scores - jnp.mean(fake_scores)
@@ -293,8 +293,11 @@ def make_train_step(
                     # augmentations are uncorrelated.
                     from stylex_tpu.losses.contrastive import contrastive_d_loss
 
+                    feats_vars = {"params": p["D"]}
+                    if "D_vq" in p:  # quantize layers read the vq collection
+                        feats_vars["vq"] = p["D_vq"]
                     feats = lambda im: modules.D.apply(
-                        {"params": dp}, im, return_features=True
+                        feats_vars, im, return_features=True
                     )
                     cl = contrastive_d_loss(feats, k_cl_r, real_img)
                     cl_gen = lax.cond(
@@ -326,9 +329,12 @@ def make_train_step(
                     return rec + kl
 
                 gsub = {k: params[k] for k in ("encoder", "S", "G")}
-                aux_grads = jax.grad(aux_loss)(gsub)
-                aux_grads = jax.tree.map(
-                    lambda g: jnp.where(is_enc, g, jnp.zeros_like(g)), aux_grads
+                # cond, not where-on-grads: prior micro-batches (half of the
+                # alternating schedule) skip the whole aux forward+backward
+                aux_grads = lax.cond(
+                    is_enc,
+                    lambda: jax.grad(aux_loss)(gsub),
+                    lambda: jax.tree.map(jnp.zeros_like, gsub),
                 )
                 gside_grads = _tree_add(gside_grads, aux_grads)
 
@@ -485,6 +491,14 @@ def make_train_step(
             else:
                 _, upd = modules.D.apply(variables, last_real, mutable=["vq"])
             params = {**params, "D_vq": upd["vq"]}
+            if "E_vq" in params:
+                # the encoder shares the fq config (`stylex_train.py:923`);
+                # same explicit EMA transition, on the last encoder batch
+                e_vars = {"params": params["encoder"], "vq": params["E_vq"]}
+                _, e_upd = modules.encoder.apply(
+                    e_vars, batch["d_enc"][-1], mutable=["vq"]
+                )
+                params = {**params, "E_vq": e_upd["vq"]}
 
         g_grads, g_loss, rec, kl, pl_len, _ = g_phase(
             params, rng_g, batch["g_imgs"], g_real, apply_pl, state.pl_mean, top_k, gside_from_d

@@ -101,6 +101,8 @@ class Trainer:
             "image size must be a power of 2 (64, 128, 256, 512, 1024)"
         )
 
+        self._classifier_name = classifier_name
+        self._classifier_path = classifier_path
         self.classifier = build_classifier(
             classifier_name,
             self.model_cfg.image_size,
@@ -142,6 +144,7 @@ class Trainer:
         self.loader: Optional[StepBatchLoader] = None
         self.dataset = None
         self.aug_prob = self.train_cfg.aug_prob
+        self._baked_aug_prob: Optional[float] = None
         self.av: Optional[jax.Array] = None
         self.last_fid: Optional[float] = None
         self.clear_fid_cache = clear_fid_cache
@@ -184,9 +187,22 @@ class Trainer:
         self.state, self._g_tx, self._d_tx = create_train_state(
             jax.random.PRNGKey(self.seed), self.modules, self.model_cfg, self.train_cfg
         )
+        self._build_step_fns()
+        self.write_config()
+
+    def _build_step_fns(self) -> None:
+        """(Re)build the jitted step closures for the CURRENT aug_prob.
+
+        The augmentation probability is a trace-time constant of the step
+        program; `set_data_src` may auto-set it AFTER `load()` already
+        initialised the model (the default CLI ordering, `cli.py` load ->
+        set_data_src), so it re-invokes this instead of silently training
+        with the stale baked-in value."""
         tc_aug = self.train_cfg
         if self.aug_prob is not None and self.aug_prob != tc_aug.aug_prob:
             tc_aug = type(tc_aug)(**{**tc_aug.__dict__, "aug_prob": self.aug_prob})
+        # None lowers to 0.0 inside make_train_step; track the effective value
+        self._baked_aug_prob = tc_aug.aug_prob if tc_aug.aug_prob is not None else 0.0
         step = make_train_step(
             self.modules,
             self.classifier.classify_images,
@@ -204,7 +220,6 @@ class Trainer:
             in_shardings=(replicated(self.mesh), None, None),
             donate_argnums=(0,),
         )
-        self.write_config()
 
     def init_folders(self) -> None:
         (self.results_dir / self.name).mkdir(parents=True, exist_ok=True)
@@ -223,6 +238,21 @@ class Trainer:
     def load_config(self) -> None:
         if self.config_path.exists():
             self.model_cfg = ModelConfig.from_json(self.config_path.read_text())
+            if (
+                self.classifier.image_size != self.model_cfg.image_size
+                or getattr(self.classifier, "num_classes", self.model_cfg.num_classes)
+                != self.model_cfg.num_classes
+            ):
+                # the bundle was built from the pre-load default config
+                # (callers like run_attfind pass model_cfg=None); a stale
+                # image_size makes mobilenet's classify_images resize every
+                # input to the WRONG resolution, silently corrupting logits
+                self.classifier = build_classifier(
+                    self._classifier_name,
+                    self.model_cfg.image_size,
+                    self.model_cfg.num_classes,
+                    checkpoint_path=self._classifier_path,
+                )
 
     # ------------------------------------------------------------------- data
     def set_data_src(self, folder: str = "./", dataset_name: Optional[str] = None) -> None:
@@ -257,6 +287,10 @@ class Trainer:
         if self.aug_prob is None and len(self.dataset) < 1e5:
             self.aug_prob = min(0.5, (1e5 - len(self.dataset)) * 3e-6)
             print(f"autosetting augmentation probability to {round(self.aug_prob * 100)}%")
+        if self.state is not None and self.aug_prob not in (None, self._baked_aug_prob):
+            # the model was initialised (load() before set_data_src, the
+            # default CLI ordering) with a different baked-in aug_prob
+            self._build_step_fns()
 
     # ------------------------------------------------------------------ train
     def _is_boundary(self, step: int) -> bool:

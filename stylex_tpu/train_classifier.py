@@ -25,7 +25,11 @@ def labeled_batches(view, batch_size: int, seed: int = 42, shuffle: bool = True)
     """
     n = len(view)
     order = np.random.RandomState(seed).permutation(n) if shuffle else np.arange(n)
-    for start in range(0, n - batch_size + 1, batch_size):
+    # include the tail batch: torch's DataLoader default (drop_last=False,
+    # `train_mobilenet_classifier.py`) — dropping it silently excludes up to
+    # batch_size-1 samples from every epoch AND yields nothing at all for
+    # splits smaller than batch_size (accuracy would read 0.0)
+    for start in range(0, n, batch_size):
         idx = order[start : start + batch_size]
         samples = [view[int(i)] for i in idx]
         images = np.stack([s[0] for s in samples])
@@ -103,7 +107,11 @@ def main(argv=None) -> None:
             trainer.variables["params"], args.amount_frozen_layers, args.freeze_all_layers
         ))
 
-    mk = lambda view: (lambda: labeled_batches(view, args.batch_size, args.seed))
+    # train loader reshuffles per epoch (reference DataLoader shuffle=True);
+    # eval loaders keep the fixed seed
+    mk = lambda view: (
+        lambda epoch=0: labeled_batches(view, args.batch_size, args.seed + epoch)
+    )
     ckpt = os.path.join(args.saved_models_dir, args.checkpoint_name)
     history = trainer.fit(mk(train_v), mk(valid_v), args.epochs, ckpt, stages=stages)
     results = trainer.test(

@@ -29,7 +29,8 @@ class MetricLogger:
             except Exception:
                 self.tb = None
         self.csv_path = csv_path
-        self._csv_header_written = False
+        self._csv_fields: Optional[list] = None
+        self._csv_warned = False
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
@@ -40,13 +41,31 @@ class MetricLogger:
             self.tb.add_scalar("loss/kl", metrics.get("kl_loss", 0.0), step)
         if self.csv_path:
             Path(self.csv_path).parent.mkdir(parents=True, exist_ok=True)
-            write_header = not self._csv_header_written and not os.path.exists(self.csv_path)
+            # Rows are keyed to a FIXED column set (the existing file's
+            # header on resume, else the first row's keys): appending
+            # metrics.values() positionally silently misaligns columns when
+            # the key set or order varies between calls or across resumes.
+            if self._csv_fields is None:
+                if os.path.exists(self.csv_path):
+                    with open(self.csv_path, newline="") as f:
+                        header = f.readline().strip()
+                    self._csv_fields = header.split(",")[1:] if header else list(metrics)
+                else:
+                    self._csv_fields = list(metrics)
+                    with open(self.csv_path, "a", newline="") as f:
+                        csv.writer(f).writerow(["step", *self._csv_fields])
+            unknown = [k for k in metrics if k not in self._csv_fields]
+            if unknown and not self._csv_warned:
+                print(f"[stylex_tpu] metrics CSV drops keys not in its header: {unknown}")
+                self._csv_warned = True
             with open(self.csv_path, "a", newline="") as f:
-                w = csv.writer(f)
-                if write_header:
-                    w.writerow(["step", *metrics.keys()])
-                w.writerow([step, *[f"{v:.6g}" for v in metrics.values()]])
-            self._csv_header_written = True
+                csv.writer(f).writerow(
+                    [step]
+                    + [
+                        f"{metrics[k]:.6g}" if k in metrics else ""
+                        for k in self._csv_fields
+                    ]
+                )
 
     def print_line(self, step: int, metrics: Dict[str, float]) -> str:
         """The reference's ``G | D | GP | PL | CR | Q | FID | Rec | KL``

@@ -136,3 +136,44 @@ def test_block_resume_matches_flat_sweep(tiny_setup, records):
     )
     np.testing.assert_array_equal(records.latents, flat.latents)
     np.testing.assert_array_equal(records.base_prob, flat.base_prob)
+
+
+def test_visualize_style_filters_on_realized_prob_change(tiny_setup, records):
+    """Cell 20's post-generation filter: a panel survives only if the
+    RE-GENERATED counterfactual moves the classifier probability by at
+    least effect_threshold — a constant classifier (zero realized change)
+    must yield no panels even when the recorded effects pass, while a
+    permissive threshold keeps them."""
+    from stylex_tpu.attfind import visualize_style
+
+    cfg, modules, params, clf_fn, images, noise = tiny_setup
+    import dataclasses
+
+    sc = records.style_change.copy()
+    sc[:, 0, 7, 0] = 1.0  # every image's recorded effect passes the threshold
+    rec = dataclasses.replace(records, style_change=sc)
+
+    constant_clf = lambda imgs: jnp.zeros((imgs.shape[0], 2))
+    panel = visualize_style(
+        modules, params, constant_clf, rec, sindex=7, direction=0,
+        effect_threshold=0.1, min_images=1, seed=0,
+    )
+    assert panel is None  # recorded effect high, realized prob change zero
+
+    panel = visualize_style(
+        modules, params, constant_clf, rec, sindex=7, direction=0,
+        effect_threshold=0.0, min_images=1, seed=0,
+    )
+    assert panel is not None and panel.ndim == 3
+
+
+def test_extraction_num_images_keeps_first_survivors(tiny_setup):
+    """The streaming 'first N survivors' semantics: a larger candidate pool
+    is truncated to num_images after the (here absent) filter."""
+    cfg, modules, params, clf_fn, images, noise = tiny_setup
+    rec = attfind_extraction(
+        modules, params, clf_fn, images, noise, coord_batch=64,
+        progress=False, num_images=2,
+    )
+    assert rec.style_change.shape[0] == 2
+    assert rec.original_images.shape[0] == 2

@@ -121,3 +121,25 @@ def test_metrics_lag_zero_is_synchronous(tmp_path):
     assert len(p._pending) > 0
     t.loader.close()
     p.loader.close()
+
+
+@pytest.mark.slow
+def test_auto_aug_prob_rebuilds_step_after_load(tmp_path):
+    """Default CLI ordering is load() (which jits the step) THEN
+    set_data_src() (which auto-sets aug_prob for small datasets); the baked
+    augmentation probability must follow, not stay at 0."""
+    from stylex_tpu.train.trainer import Trainer
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=2, aug_prob=None,
+                     save_every=10**6, evaluate_every=10**9)
+    t = Trainer(name="aug", base_dir=str(tmp_path), model_cfg=cfg, train_cfg=tc,
+                classifier_name="mobilenet")
+    t.init_stylex()  # what load() does before any data source exists
+    assert t._baked_aug_prob == 0.0
+    t.set_data_src(dataset_name="synthetic")  # 512 images -> auto ~0.298
+    assert t.aug_prob is not None and t.aug_prob > 0
+    assert t._baked_aug_prob == t.aug_prob
+    metrics = t.train()
+    assert np.isfinite(metrics["g_loss"])
+    t.loader.close()

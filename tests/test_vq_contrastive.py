@@ -76,6 +76,8 @@ def test_fq_train_step_updates_codebook():
     modules = build_stylex(cfg)
     state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
     assert "D_vq" in state.params
+    # the encoder shares the fq trunk config (`stylex_train.py:923-925`)
+    assert "E_vq" in state.params
     clf = build_classifier("mobilenet", cfg.image_size)
     lp = init_lpips_params(jax.random.PRNGKey(1))
     step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
@@ -84,10 +86,13 @@ def test_fq_train_step_updates_codebook():
         for i, k in enumerate(("d_real", "d_enc", "g_imgs"))
     }
     book0 = np.asarray(jax.tree.leaves(state.params["D_vq"])[0])
+    ebook0 = np.asarray(jax.tree.leaves(state.params["E_vq"])[0])
     state, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert all(np.isfinite(float(v)) for v in metrics.values())
     book1 = np.asarray(jax.tree.leaves(state.params["D_vq"])[0])
     assert not np.allclose(book0, book1)
+    ebook1 = np.asarray(jax.tree.leaves(state.params["E_vq"])[0])
+    assert not np.allclose(ebook0, ebook1)
     # the fq commitment loss must surface in metrics (reference's Q field,
     # `stylex_train.py:1700-1715`)
     assert "q_loss" in metrics and float(metrics["q_loss"]) != 0.0
@@ -121,3 +126,34 @@ def test_cl_reg_metrics_and_print_line():
         1, {k: float(v) for k, v in metrics.items()}
     )
     assert "CR:" in line
+
+
+@pytest.mark.slow
+def test_cl_reg_with_fq_layers_runs():
+    """cl_reg's feature pass must supply the 'vq' collection when quantize
+    layers are configured — the combination used to crash at first trace
+    with ScopeCollectionNotFound."""
+    from stylex_tpu.config import ModelConfig, TrainConfig
+    from stylex_tpu.models import build_stylex
+    from stylex_tpu.models.classifiers import build_classifier
+    from stylex_tpu.models.lpips import init_lpips_params
+    from stylex_tpu.train.state import create_train_state
+    from stylex_tpu.train.steps import make_train_step
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34,
+                      encoder_dim=32, fq_layers=(2,), fq_dict_size=32)
+    tc = TrainConfig(batch_size=2, gradient_accumulate_every=2, aug_prob=0.1,
+                     cl_reg=True)
+    modules = build_stylex(cfg)
+    state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx))
+    batch = {
+        k: jax.random.uniform(jax.random.PRNGKey(i), (2, 2, 16, 16, 3))
+        for i, k in enumerate(("d_real", "d_enc", "g_imgs"))
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert float(metrics["q_loss"]) != 0.0
+    assert float(metrics["cr_loss"]) != 0.0
