@@ -60,11 +60,19 @@ class OpTiming:
         return s
 
 
-def _make_looped(fn: Callable, n: int, idx: int):
-    """One executable: run ``fn`` n times, scalar-chained."""
+def _make_looped(fn: Callable, idx: int):
+    """One executable: run ``fn`` ``n`` times, scalar-chained.
+
+    ``n`` is a TRACED scalar operand, not a static constant: the
+    ``fori_loop`` lowers to one ``while`` program that serves every loop
+    length. On this 1-vCPU host behind a remote-compile relay that matters
+    a lot — the slope protocol needs two lengths, and a static ``n`` would
+    compile the full sweep/train program twice (the round-2 bench timeout
+    was mostly duplicated cold compiles of near-identical executables).
+    """
 
     @functools.partial(jax.jit, static_argnums=())
-    def looped(s0, *args):
+    def looped(n, s0, *args):
         base = args[idx]
         eps = jnp.asarray(
             1e-6 if jnp.issubdtype(base.dtype, jnp.floating) else 1, base.dtype
@@ -88,7 +96,7 @@ def _make_looped(fn: Callable, n: int, idx: int):
             )
             return s + 1.0 + jnp.where(jnp.isnan(probe), 1e-3, 0.0)
 
-        return lax.fori_loop(0, n, body, s0)
+        return lax.fori_loop(0, jnp.asarray(n, jnp.int32), body, s0)
 
     return looped
 
@@ -113,29 +121,29 @@ def measure_op(
     args = list(args)
     idx = next(i for i, a in enumerate(args) if hasattr(a, "dtype"))
 
+    looped = _make_looped(fn, idx)  # ONE executable for every loop length
+
     if n_pair is None:
-        cal = _make_looped(fn, 16, idx)
-        float(cal(jnp.float32(0.789), *args))  # compile + warm
+        float(looped(16, jnp.float32(0.789), *args))  # compile + warm
         t0 = time.perf_counter()
-        float(cal(jnp.float32(0.987), *args))
+        float(looped(16, jnp.float32(0.987), *args))
         t16 = time.perf_counter() - t0
         est = max((t16 - 0.030) / 16, 2e-6)  # ~30ms fixed relay cost
         n2 = int(min(max(target_seconds / est, 32), 4096))
         n_pair = (n2 // 4, n2)
 
     n1, n2 = n_pair
-    f1, f2 = _make_looped(fn, n1, idx), _make_looped(fn, n2, idx)
-    # compile + warm both executables
-    float(f1(jnp.float32(0.123), *args))
-    float(f2(jnp.float32(0.456), *args))
+    # compile + warm (both lengths run the same while-loop program)
+    float(looped(n1, jnp.float32(0.123), *args))
+    float(looped(n2, jnp.float32(0.456), *args))
 
     slopes = []
     for r in range(repeats):
         ts = []
-        for f, n in ((f1, n1), (f2, n2)):
+        for n in (n1, n2):
             s0 = jnp.float32(1.0 + 0.01 * r + 0.001 * n)  # unique seed per run
             t0 = time.perf_counter()
-            float(f(s0, *args))  # one dispatch, one scalar fetch
+            float(looped(n, s0, *args))  # one dispatch, one scalar fetch
             ts.append(time.perf_counter() - t0)
         slopes.append(max((ts[1] - ts[0]) / (n2 - n1), 1e-12))
     per = statistics.median(slopes)
@@ -168,31 +176,28 @@ def measure_chained(
     to memoize. Slope-timed like :func:`measure_op`.
     """
 
-    def make(n):
-        @jax.jit
-        def looped(c):
-            return lax.fori_loop(0, n, fn, c)
-
-        return looped
+    @jax.jit
+    def looped(n, c):
+        # traced trip count: one while-loop executable serves both lengths
+        return lax.fori_loop(0, jnp.asarray(n, jnp.int32), fn, c)
 
     n1, n2 = n_pair
-    f1, f2 = make(n1), make(n2)
 
     def force(c) -> None:
         leaf = next(x for x in jax.tree.leaves(c) if hasattr(x, "dtype"))
         float(leaf.ravel()[:1].astype(jnp.float32).sum())
 
-    c = f1(carry0)
+    c = looped(n1, carry0)
     force(c)
-    c = f2(c)
+    c = looped(n2, c)
     force(c)
 
     slopes = []
     for _ in range(repeats):
         ts = []
-        for f in (f1, f2):
+        for n in (n1, n2):
             t0 = time.perf_counter()
-            c = f(c)
+            c = looped(n, c)
             force(c)
             ts.append(time.perf_counter() - t0)
         slopes.append(max((ts[1] - ts[0]) / (n2 - n1), 1e-12))
