@@ -311,6 +311,25 @@ def _run_extras(dtype, extras: dict, log) -> None:
         if mfu is not None:
             extras["train64_mfu"] = round(mfu, 4)
 
+    def t64_bf16():
+        # TPU-native dtype on the same 64px schedule: the f32 row above is
+        # the reference-faithful default, this row is the bf16 headroom
+        v, dt, mfu = bench_train_step(64, batch=4, accum=8,
+                                      dtype_name="bfloat16", remat=False)
+        extras["train64_bf16_imgs_per_sec"] = round(v, 2)
+        extras["train64_bf16_step_seconds"] = round(dt, 4)
+        if mfu is not None:
+            extras["train64_bf16_mfu"] = round(mfu, 4)
+
+    def t64_b32():
+        # same 32 images/optimizer-step as b4xga8, one batch-32 micro-batch:
+        # isolates how much of the train-step roofline gap (docs/ROOFLINE.md)
+        # is batch-4 underutilization vs intrinsic op-mix cost
+        v, dt, _ = bench_train_step(64, batch=32, accum=1,
+                                    dtype_name="float32", remat=False)
+        extras["train64_b32_imgs_per_sec"] = round(v, 2)
+        extras["train64_b32_step_seconds"] = round(dt, 4)
+
     def t256():
         # honor the f32 fallback/env flag like every other extra
         name = "float32" if dtype == jnp.float32 else "bfloat16"
@@ -323,6 +342,8 @@ def _run_extras(dtype, extras: dict, log) -> None:
 
     gated("attfind64_mfu", mfu64)
     gated("train64", t64)
+    gated("train64_bf16", t64_bf16)
+    gated("train64_b32", t64_b32)
     gated("attfind64_resume", resume64)
     gated("attfind64_unfused", unfused64)
     gated("attfind64_resnet", resnet64)

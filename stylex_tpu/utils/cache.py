@@ -27,13 +27,19 @@ def enable_persistent_cache(path: str | None = None) -> bool:
         import hashlib
 
         try:
-            flags = ""
+            # flags alone are not enough: XLA derives LLVM tuning features
+            # (e.g. prefer-no-scatter) from the CPU *model*, and two hosts
+            # with identical flags lines can still produce incompatible AOT
+            # entries (observed: cpu_aot_loader machine-feature mismatch
+            # warnings of possible SIGILL). Hash flags + model name.
+            sig_lines = []
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        flags = line
-                        break
-            host_sig = hashlib.sha1(flags.encode()).hexdigest()[:8]
+                    if line.startswith(("flags", "model name")):
+                        sig_lines.append(line)
+                        if len(sig_lines) == 2:
+                            break
+            host_sig = hashlib.sha1("".join(sig_lines).encode()).hexdigest()[:8]
         except Exception:
             host_sig = "unknown"
         base = path or _DEFAULT
