@@ -378,7 +378,18 @@ def extras_main() -> None:
         finally:
             sys.stdout, sys.stderr = old_out, old_err
             devnull.close()
-    with open(os.path.join(repo, "BENCH_EXTRAS.json"), "w") as f:
+    out_path = os.path.join(repo, "BENCH_EXTRAS.json")
+    try:
+        # carry dated addenda blocks (one-off on-chip measurements recorded
+        # outside the budgeted child) across rewrites
+        with open(out_path) as f:
+            prior = json.load(f)
+        for k, v in prior.items():
+            if k.startswith("addenda") and k not in extras:
+                extras[k] = v
+    except Exception:
+        pass
+    with open(out_path, "w") as f:
         json.dump(extras, f, indent=1)
 
 
