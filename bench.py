@@ -247,20 +247,33 @@ def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
     return batch * accum / t.seconds, t.seconds, mfu
 
 
-def _run_extras(dtype, extras: dict, log) -> None:
-    """Budgeted, silent extras. Each entry is checked against the wall-clock
-    budget before starting; skipped ones are named in extras['skipped']."""
+def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
+    """Budgeted extras. Rows run in priority order; each is gated on the
+    wall-clock budget before starting and the JSON is flushed after every
+    row, so a slow day yields a complete-or-explicitly-truncated file
+    (skips are tagged with the budget that killed them) with no hand
+    addenda needed."""
     budget = _budget_s()
     skipped = []
 
-    def gated(name, fn):
-        if _elapsed() > budget:
-            skipped.append(name)
+    def gated(name, fn, reserve_s: float = 0.0):
+        """reserve_s: expected cost — skip if starting now would overrun."""
+        remaining = budget - _elapsed()
+        if remaining < reserve_s:
+            skipped.append(
+                {"row": name, "reason": "budget",
+                 "remaining_s": round(remaining, 1),
+                 "reserve_s": reserve_s, "budget_s": budget}
+            )
+            extras["skipped"] = skipped
+            flush()
             return
         try:
             fn()
         except Exception:
             traceback.print_exc(file=log)
+        extras["elapsed_s"] = round(_elapsed(), 1)
+        flush()
 
     def mfu64():
         # re-times quickly (compile cached from primary) to attach MFU
@@ -340,17 +353,22 @@ def _run_extras(dtype, extras: dict, log) -> None:
         if mfu is not None:
             extras["train256_mfu"] = round(mfu, 4)
 
+    # Priority order: cheap rows that reuse the primary's cached compile
+    # first (mfu64, unfused64 — the fused-vs-literal A/B docs/ROOFLINE.md
+    # calls definitive), then the train-MFU rows VERDICT r3 flags as the
+    # weakest axis, then the compile-heavy 256px/resume/resnet tail.
     gated("attfind64_mfu", mfu64)
+    gated("attfind64_unfused", unfused64)
     gated("train64", t64)
     gated("train64_bf16", t64_bf16)
     gated("train64_b32", t64_b32)
-    gated("attfind64_resume", resume64)
-    gated("attfind64_unfused", unfused64)
-    gated("attfind64_resnet", resnet64)
-    gated("attfind256", a256)
     gated("train256", t256)
+    gated("attfind256", a256)
+    gated("attfind64_resume", resume64)
+    gated("attfind64_resnet", resnet64)
     extras["skipped"] = skipped
     extras["elapsed_s"] = round(_elapsed(), 1)
+    flush()
 
 
 def extras_main() -> None:
@@ -366,31 +384,54 @@ def extras_main() -> None:
     # this file as the child's stdout/stderr — append, or the reopen would
     # clobber any early-crash output the inherited fd wrote at its own
     # offset. Direct `--extras-only` invocations truncate as before.
+    out_path = os.path.join(repo, "BENCH_EXTRAS.json")
     mode = "a" if os.environ.get("_STYLEX_EXTRAS_CHILD") else "w"
     with open(os.path.join(repo, "bench_extras.log"), mode) as log:
+        # Carry dated addenda blocks (one-off on-chip measurements recorded
+        # outside the budgeted child) across rewrites — but a sub-key freshly
+        # measured in THIS run supersedes its stale addenda copy, and load
+        # failures are logged, not silently dropped.
+        addenda = {}
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            addenda = {k: v for k, v in prior.items() if k.startswith("addenda")}
+        except FileNotFoundError:
+            pass
+        except Exception:
+            print("prior BENCH_EXTRAS.json unreadable; addenda dropped:", file=log)
+            traceback.print_exc(file=log)
+
+        def flush():
+            merged = dict(extras)
+            for blk_name, blk in addenda.items():
+                if isinstance(blk, dict):
+                    superseded = sorted(k for k in blk if k != "note" and k in merged)
+                    live = {k: v for k, v in blk.items()
+                            if k == "note" or k not in merged}
+                    if superseded:
+                        live["superseded_by_this_run"] = superseded
+                    if set(live) <= {"note", "superseded_by_this_run"} and superseded:
+                        live["note"] = blk.get("note", "") + " [fully superseded]"
+                    merged[blk_name] = live
+                else:
+                    merged.setdefault(blk_name, blk)
+            tmp = out_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f, indent=1)
+            os.replace(tmp, out_path)
+
         devnull = open(os.devnull, "w")
         old_out, old_err = sys.stdout, sys.stderr
         sys.stdout, sys.stderr = devnull, log
         try:
-            _run_extras(dtype, extras, log)
+            _run_extras(dtype, extras, log, flush)
         except Exception:
             traceback.print_exc(file=log)
         finally:
             sys.stdout, sys.stderr = old_out, old_err
             devnull.close()
-    out_path = os.path.join(repo, "BENCH_EXTRAS.json")
-    try:
-        # carry dated addenda blocks (one-off on-chip measurements recorded
-        # outside the budgeted child) across rewrites
-        with open(out_path) as f:
-            prior = json.load(f)
-        for k, v in prior.items():
-            if k.startswith("addenda") and k not in extras:
-                extras[k] = v
-    except Exception:
-        pass
-    with open(out_path, "w") as f:
-        json.dump(extras, f, indent=1)
+        flush()
 
 
 def _device_reachable(timeout_s: float) -> bool:

@@ -41,7 +41,18 @@ def enable_persistent_cache(path: str | None = None) -> bool:
                             break
             host_sig = hashlib.sha1("".join(sig_lines).encode()).hexdigest()[:8]
         except Exception:
-            host_sig = "unknown"
+            # /proc/cpuinfo unreadable (macOS, restricted container): derive
+            # the signature from platform facts instead of a shared literal —
+            # a constant would make all such hosts share one dir on a synced
+            # ~/.cache, reintroducing the cross-host AOT-replay hazard.
+            import platform
+
+            fallback = "|".join(
+                (platform.machine(), platform.processor(), " ".join(os.uname()))
+            )
+            if not fallback.strip("| "):
+                return False  # no host identity derivable: safer to skip
+            host_sig = hashlib.sha1(fallback.encode()).hexdigest()[:8]
         base = path or _DEFAULT
         full = os.path.join(base, f"{jax.default_backend()}-{host_sig}")
         os.makedirs(full, exist_ok=True)
