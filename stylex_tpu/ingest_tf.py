@@ -245,6 +245,35 @@ def _first(obj, *candidates):
     return None
 
 
+def _locate_generator_parts(g):
+    """Find ``(style_vector_calculator, g_synthesis)`` on a restored
+    generator, tolerating one level of extra nesting (keras-restored
+    artifacts often wrap the original ``tf.Module`` under ``.model`` /
+    ``.module`` / similar). Raises with :func:`describe_savedmodel`
+    guidance when neither the object nor any direct child carries both."""
+    svc = getattr(g, "style_vector_calculator", None)
+    syn = getattr(g, "g_synthesis", None)
+    if svc is not None and syn is not None:
+        return svc, syn
+    for name in dir(g):
+        if name.startswith("_"):
+            continue
+        try:
+            child = getattr(g, name)
+        except Exception:
+            continue
+        csvc = getattr(child, "style_vector_calculator", None)
+        csyn = getattr(child, "g_synthesis", None)
+        if csvc is not None and csyn is not None:
+            return csvc, csyn
+    raise ValueError(
+        "generator object lacks style_vector_calculator / g_synthesis "
+        "attributes (checked the object and one level of nesting) — run "
+        "describe_savedmodel(path) to inspect the artifact's variable "
+        "layout and extend convert_google_generator's candidate paths"
+    )
+
+
 def convert_google_generator(tf_generator_or_path):
     """Lift a Google-layout StylEx generator SavedModel into the JAX
     :class:`~stylex_tpu.models.google_stylex.GoogleStylExGenerator`.
@@ -274,13 +303,7 @@ def convert_google_generator(tf_generator_or_path):
     else:
         g = tf_generator_or_path
 
-    svc = getattr(g, "style_vector_calculator", None)
-    syn = getattr(g, "g_synthesis", None)
-    if svc is None or syn is None:
-        raise ValueError(
-            "generator object lacks style_vector_calculator / g_synthesis "
-            "attributes — not a Google StylEx SavedModel?"
-        )
+    svc, syn = _locate_generator_parts(g)
 
     blocks = list(svc.style_dense_blocks)
     kernels, biases = [], []

@@ -18,6 +18,7 @@ import pytest
 
 tf = pytest.importorskip("tensorflow")
 
+import jax
 import jax.numpy as jnp
 
 from stylex_tpu.ingest_tf import (
@@ -29,7 +30,13 @@ from stylex_tpu.ingest_tf import (
 )
 from stylex_tpu.models.google_stylex import GoogleStylExGenerator
 
-from tf_twin import save_twins
+from tf_twin import (
+    TwinGenerator,
+    perturb_broken_layout,
+    perturb_keras_layout,
+    perturb_nested_layout,
+    save_twins,
+)
 
 SPEC = GoogleStylExGenerator(
     image_size=16,
@@ -121,6 +128,28 @@ def test_counterfactual_mutation_equals_style_delta(saved_root, models):
         gen.call_synthesis(params, jnp.asarray(latents), style_delta=jnp.asarray(delta))
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_convert_adapts_to_perturbed_layouts():
+    """Layout drift hardening (VERDICT r3 Next #8): the converter must adapt
+    to keras-restored naming (dense.weights[0] / dense_bias.bias /
+    convs[i].kernel) and to one level of extra nesting, producing identical
+    params to the documented layout; a layout missing g_synthesis anywhere
+    must fail pointing at describe_savedmodel."""
+    twin = TwinGenerator(SPEC, seed=3)
+    _, want = convert_google_generator(twin)
+
+    for perturb in (perturb_keras_layout, perturb_nested_layout):
+        gen_p, got = convert_google_generator(perturb(twin))
+        assert gen_p.layer_shapes == SPEC.layer_shapes
+        flat_w = jax.tree_util.tree_leaves(want)
+        flat_g = jax.tree_util.tree_leaves(got)
+        assert len(flat_w) == len(flat_g)
+        for a, b in zip(flat_w, flat_g):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="describe_savedmodel"):
+        convert_google_generator(perturb_broken_layout(twin))
 
 
 def test_google_fid_topk_end_to_end(saved_root, models, tmp_path):

@@ -162,6 +162,73 @@ class TwinClassifier(tf.Module):
         return tf.reduce_mean(images_nhwc, axis=[1, 2]) @ self.w
 
 
+class _KerasDense:
+    """keras-restored Dense: weights list, no .kernel attribute."""
+
+    def __init__(self, kernel):
+        self.weights = [kernel]
+
+
+class _KerasBias:
+    def __init__(self, bias):
+        self.bias = bias
+
+
+class _KerasConv:
+    """keras-restored Conv: .kernel instead of .weight."""
+
+    def __init__(self, kernel, bias):
+        self.kernel = kernel
+        self.bias = bias
+
+
+class _Obj:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def perturb_keras_layout(gen: TwinGenerator):
+    """The same weights re-exposed under keras-restored naming
+    (``dense.weights[0]`` / ``dense_bias.bias`` / ``convs[i].kernel``) —
+    the converter's documented alternate candidate paths."""
+
+    def blk(b):
+        return _Obj(
+            dense=_KerasDense(b.dense.kernel),
+            dense_bias=_KerasBias(b.dense_bias.weights[0]),
+        )
+
+    svc = gen.style_vector_calculator
+    syn = gen.g_synthesis
+    return _Obj(
+        style_vector_calculator=_Obj(
+            style_dense_blocks=[blk(b) for b in svc.style_dense_blocks],
+            torgb_dense_blocks=[blk(b) for b in svc.torgb_dense_blocks],
+        ),
+        g_synthesis=_Obj(
+            const=syn.const,
+            convs=[_KerasConv(c.weight, c.bias) for c in syn.convs],
+            torgbs=[_KerasConv(c.weight, c.bias) for c in syn.torgbs],
+        ),
+    )
+
+
+def perturb_nested_layout(gen: TwinGenerator):
+    """One level of extra nesting: the original module wrapped under
+    ``.model`` (what a keras re-save of the tf.Module produces)."""
+    return _Obj(model=_Obj(
+        style_vector_calculator=gen.style_vector_calculator,
+        g_synthesis=gen.g_synthesis,
+    ))
+
+
+def perturb_broken_layout(gen: TwinGenerator):
+    """A layout the converter must refuse: no g_synthesis anywhere."""
+    return _Obj(model=_Obj(
+        style_vector_calculator=gen.style_vector_calculator,
+    ))
+
+
 def save_twins(root, jax_gen, seed: int = 0):
     """Save generator + classifier twins under the bucket's directory names
     (cell 5); returns the in-memory twin objects."""
