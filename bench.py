@@ -199,7 +199,7 @@ def bench_attfind_resume(image_size: int, coord_batch: int, dtype,
 
 
 def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
-                     remat: bool):
+                     remat: bool, fused: bool = True):
     """Slope-time the full jitted train step (both phases, optimizers, EMA)."""
     from stylex_tpu.config import ModelConfig, TrainConfig
     from stylex_tpu.models import build_stylex
@@ -210,7 +210,8 @@ def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
 
     cfg = ModelConfig(image_size=image_size, remat=remat)
     tc = TrainConfig(batch_size=batch, gradient_accumulate_every=accum,
-                     aug_prob=0.25, compute_dtype=dtype_name)
+                     aug_prob=0.25, compute_dtype=dtype_name,
+                     fused_microbatches=fused)
     modules = build_stylex(cfg)
     state, g_tx, d_tx = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
     clf = build_classifier("mobilenet", cfg.image_size)
@@ -324,6 +325,17 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
         if mfu is not None:
             extras["train64_mfu"] = round(mfu, 4)
 
+    def t64_scan():
+        # A/B: the literal accumulation loop (lax.scan of batch-4 passes)
+        # vs the shipping fused micro-batch step measured by train64
+        v, dt, mfu = bench_train_step(64, batch=4, accum=8,
+                                      dtype_name="float32", remat=False,
+                                      fused=False)
+        extras["train64_scan_imgs_per_sec"] = round(v, 2)
+        extras["train64_scan_step_seconds"] = round(dt, 4)
+        if mfu is not None:
+            extras["train64_scan_mfu"] = round(mfu, 4)
+
     def t64_bf16():
         # TPU-native dtype on the same 64px schedule: the f32 row above is
         # the reference-faithful default, this row is the bf16 headroom
@@ -361,6 +373,7 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
     gated("attfind64_unfused", unfused64)
     gated("train64", t64)
     gated("train64_bf16", t64_bf16)
+    gated("train64_scan", t64_scan)
     gated("train64_b32", t64_b32)
     gated("train256", t256)
     gated("attfind256", a256)

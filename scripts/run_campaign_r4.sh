@@ -53,7 +53,7 @@ python -m stylex_tpu.cli --data $DATA --results-dir runs/results \
 tail -3 runs/results/camp_r4/fid_scores.txt 2>/dev/null || true
 
 step "4/4 AttFind: 250 images end-to-end (the reference's ~5 h workload)"
-/usr/bin/time -v python -m stylex_tpu.run_attfind --name camp_r4 \
+time python -m stylex_tpu.run_attfind --name camp_r4 \
   --models-dir runs/models --data $DATA \
   --classifier-name mobilenet \
   --classifier-path runs/models/synth64_mobilenet.msgpack \

@@ -67,10 +67,48 @@ def _phase1(modules, params, classifier_fn, cfg, images, noise):
     return w, coords, d_out, base_logits
 
 
+def _scan_chunks(sweep, n_heavy: int, mesh=None, heavy_specs=None):
+    """Fuse K perturbation chunks into ONE dispatch: ``lax.scan`` of the
+    chunk body over (K, coord_batch) index arrays.
+
+    On a relayed TPU each dispatch costs a host round-trip that dwarfs the
+    ~9 ms chunk compute (measured 150-200 ms/chunk wall in the r4 250-image
+    run vs the 9.4 ms device slope) — the same disease the trainer's
+    ``steps_per_dispatch`` cures. K is a static trip count, so the body
+    compiles once regardless of K.
+
+    ``n_heavy``: number of leading device-resident args before the three
+    index vectors."""
+    from jax import lax
+
+    def multi(*args):
+        heavy, (ii, ci, di) = args[:n_heavy], args[n_heavy:]
+
+        def body(_, xs):
+            return None, sweep(*heavy, *xs)
+
+        _, out = lax.scan(body, None, (ii, ci, di))
+        return out  # (K, coord_batch, num_classes)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = replicated(mesh)
+        flat2 = NamedSharding(mesh, P(None, "data"))  # (K, cb) ids
+        out3 = NamedSharding(mesh, P(None, "data", None))
+        specs = tuple(repl for _ in range(n_heavy)) if heavy_specs is None else heavy_specs
+        return jax.jit(
+            multi,
+            in_shardings=specs + (flat2, flat2, flat2),
+            out_shardings=out3,
+        )
+    return jax.jit(multi)
+
+
 def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
-                   shift_size: float, mesh=None):
+                   shift_size: float, mesh=None, chunks_per_dispatch: int = 1):
     """One jitted perturbation chunk over a FLAT (image, direction, coord)
-    axis.
+    axis (or K chunks per dispatch — see :func:`_scan_chunks`).
 
     Each chunk element is addressed by ``(img_idx, coord_idx, is_max)`` —
     three small int vectors per launch. Everything heavy already lives on
@@ -98,6 +136,8 @@ def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
         logits = classifier_fn(gen)
         return logits - base_all[img_idx]
 
+    if chunks_per_dispatch > 1:
+        return _scan_chunks(sweep, 6, mesh)
     if mesh is not None:
         repl, flat = replicated(mesh), coordinate_sharding(mesh, ndim=1)
         return jax.jit(
@@ -128,7 +168,8 @@ def _capture_states(modules, params, cfg, w_all, noise, phase1_batch):
 
 
 def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
-                          shift_size: float, start_block: int, mesh=None):
+                          shift_size: float, start_block: int, mesh=None,
+                          chunks_per_dispatch: int = 1):
     """Like :func:`_make_sweep_fn` but resumes synthesis at ``start_block``
     from per-image cached entry states: a perturbation at block k cannot
     change blocks < k, so their recompute is skipped entirely (the
@@ -155,16 +196,21 @@ def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
         return logits - base_all[img_idx]
 
     if mesh is not None:
-        repl, flat = replicated(mesh), coordinate_sharding(mesh, ndim=1)
+        repl = replicated(mesh)
         # block 0 has no incoming rgb: that argument is None (an empty
         # pytree), whose sharding slot must be None as well
         rgb_spec = repl if start_block > 0 else None
+        heavy_specs = (repl, rgb_spec, repl, repl, repl, repl, repl, repl)
+        if chunks_per_dispatch > 1:
+            return _scan_chunks(sweep, 8, mesh, heavy_specs)
+        flat = coordinate_sharding(mesh, ndim=1)
         return jax.jit(
             sweep,
-            in_shardings=(repl, rgb_spec, repl, repl, repl, repl, repl, repl,
-                          flat, flat, flat),
+            in_shardings=heavy_specs + (flat, flat, flat),
             out_shardings=coordinate_sharding(mesh, ndim=2),
         )
+    if chunks_per_dispatch > 1:
+        return _scan_chunks(sweep, 8)
     return jax.jit(sweep)
 
 
@@ -183,6 +229,7 @@ def attfind_extraction(
     progress: bool = True,
     block_resume: bool = True,
     num_images: Optional[int] = None,
+    chunks_per_dispatch: int = 8,
 ) -> AttFindRecords:
     """Run the full AttFind extraction over a set of images.
 
@@ -204,6 +251,10 @@ def attfind_extraction(
         synthesis from cached per-image block states — skips recompute of
         every block upstream of the perturbed coordinate (bit-identical
         results; one jit per block instead of one total).
+      chunks_per_dispatch: perturbation chunks fused into ONE device
+        dispatch via ``lax.scan`` (:func:`_scan_chunks`) — amortises the
+        per-dispatch relay round-trip exactly like the trainer's
+        ``steps_per_dispatch``. 1 = one dispatch per chunk.
 
     Returns:
       :class:`AttFindRecords`.
@@ -259,15 +310,21 @@ def attfind_extraction(
     min_dev, max_dev = jnp.asarray(minima), jnp.asarray(maxima)
     base_dev = jnp.asarray(logits_all)
 
+    K = max(1, int(chunks_per_dispatch))
+
     def _chunked(total, ids_builder, run_chunk, desc):
-        """Chunk a flat perturbation enumeration and collect effects."""
+        """Chunk a flat perturbation enumeration and collect effects,
+        dispatching K chunks per device launch (tail padded — at most
+        K*coord_batch-1 wasted perturbations per block, <1% at the
+        reference scale)."""
         img_ids, dir_ids, coord_ids = ids_builder()
-        pad = (-total) % coord_batch
+        group = coord_batch * K
+        pad = (-total) % group
         if pad:
             img_ids = np.concatenate([img_ids, np.zeros(pad, np.int32)])
             dir_ids = np.concatenate([dir_ids, np.zeros(pad, np.int32)])
             coord_ids = np.concatenate([coord_ids, np.full(pad, coord_ids[0], np.int32)])
-        starts = range(0, total + pad, coord_batch)
+        starts = range(0, total + pad, group)
         if progress:
             try:
                 import tqdm
@@ -278,14 +335,19 @@ def attfind_extraction(
         # keep chunk outputs on device and fetch ONCE: a per-chunk host
         # round-trip costs more than the chunk's compute on a relayed TPU
         # (docs/TIMING.md), and each chunk is only a few KB
+        shape = (K, coord_batch) if K > 1 else (coord_batch,)
         effects = []
         for start in starts:
-            sl = slice(start, start + coord_batch)
+            sl = slice(start, start + group)
             effects.append(run_chunk(
-                jnp.asarray(img_ids[sl]), jnp.asarray(coord_ids[sl]),
-                jnp.asarray(dir_ids[sl]),
+                jnp.asarray(img_ids[sl].reshape(shape)),
+                jnp.asarray(coord_ids[sl].reshape(shape)),
+                jnp.asarray(dir_ids[sl].reshape(shape)),
             ))
-        return np.asarray(jnp.concatenate(effects)[:total])
+        num_classes = effects[0].shape[-1]
+        return np.asarray(
+            jnp.concatenate(effects).reshape(-1, num_classes)[:total]
+        )
 
     if block_resume:
         # group by generator block; resume from cached per-image states so
@@ -297,7 +359,8 @@ def attfind_extraction(
         for k, (in_chan, out_chan) in enumerate(block_dims):
             size_k = in_chan + out_chan
             sweep_k = _make_resume_sweep_fn(
-                modules, params, classifier_fn, cfg, C, shift_size, k, mesh
+                modules, params, classifier_fn, cfg, C, shift_size, k, mesh,
+                chunks_per_dispatch=K,
             )
             x_st, rgb_st = states[k]
 
@@ -325,7 +388,8 @@ def attfind_extraction(
             offset += size_k
         style_change = np.concatenate(per_block, axis=2).astype(np.float32)
     else:
-        sweep = _make_sweep_fn(modules, params, classifier_fn, cfg, C, shift_size, mesh)
+        sweep = _make_sweep_fn(modules, params, classifier_fn, cfg, C, shift_size,
+                               mesh, chunks_per_dispatch=K)
 
         def ids_builder():
             # flat enumeration in (image, direction, coord) order so the

@@ -108,6 +108,7 @@ def train_from_folder(
     remat: bool = False,
     steps_per_dispatch: int = 1,
     async_save: bool = True,
+    fused_microbatches: bool = True,
 ) -> None:
     """Train (or run eval-only modes for) a StylEx model from an image folder."""
     from stylex_tpu.train.trainer import NanException, Trainer
@@ -170,6 +171,7 @@ def train_from_folder(
         compute_dtype="bfloat16" if (bf16 or fp16) else "float32",
         num_devices=num_devices,
         steps_per_dispatch=steps_per_dispatch,
+        fused_microbatches=fused_microbatches,
         async_save=async_save,
     )
 

@@ -142,6 +142,16 @@ class TrainConfig:
     # unchanged: loads, the next save, and process exit all join the
     # writer. False = the reference's blocking save.
     async_save: bool = True
+    # Fuse the gradient-accumulation micro-batches of each phase into ONE
+    # batched forward/backward (batch accum*B) instead of a lax.scan of
+    # accum passes at batch B. Semantics are preserved exactly (per-micro-
+    # batch RNG keys, per-micro-batch top-k/SimCLR/relativistic means, the
+    # alternating encoder/prior schedule) up to float reassociation — see
+    # make_train_step; tests/test_train.py asserts scan == fused. At the
+    # reference's batch 4 the scan step is utilization-bound on TPU
+    # (docs/ROOFLINE.md): batch-32 isolation measured 1.9x. False = the
+    # literal accumulation loop.
+    fused_microbatches: bool = True
     # Data parallel axis size; None = all visible devices.
     num_devices: Optional[int] = None
 

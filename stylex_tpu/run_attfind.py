@@ -37,6 +37,9 @@ def main(argv=None) -> None:
     p.add_argument("--discriminator-threshold", type=float, default=None)
     p.add_argument("--use-discriminator", action="store_true")
     p.add_argument("--coord-batch", type=int, default=512)
+    p.add_argument("--chunks-per-dispatch", type=int, default=8,
+                   help="perturbation chunks fused into one device dispatch "
+                        "(lax.scan) — amortises per-dispatch relay latency")
     p.add_argument("--no-block-resume", action="store_true",
                    help="use the flat full-recompute sweep instead of the "
                         "block-resume sweep (debug/A-B escape hatch)")
@@ -106,6 +109,7 @@ def main(argv=None) -> None:
         coord_batch=args.coord_batch,
         mesh=trainer.mesh if len(trainer.mesh.devices.flat) > 1 else None,
         block_resume=not args.no_block_resume,
+        chunks_per_dispatch=args.chunks_per_dispatch,
     )
     dt = time.perf_counter() - t0
     total_styles = records.style_change.shape[0] * 2 * records.style_change.shape[2]

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -444,6 +446,313 @@ def make_train_step(
         )
         return g_grads, gl, rec, kl, pl_last, rng
 
+    # -------------------------------------------------- fused (wide) phases
+    # The scan phases above run `accum` micro-batch passes at batch B — the
+    # literal shape of the reference's accumulation loop
+    # (`stylex_train.py:1297-1360`). At the reference's B=4 that leaves the
+    # MXU utilization-bound (docs/ROOFLINE.md: batch-32 isolation measured
+    # 1.9x). The wide phases below compute the SAME step as one batched
+    # forward/backward over accum*B samples:
+    #
+    # * the per-micro-batch RNG chain is replayed exactly (same
+    #   jax.random.split sequence, so every z draw / noise map / DiffAugment
+    #   decision is bit-identical),
+    # * per-micro-batch semantics are preserved by keeping the (accum, B)
+    #   structure wherever the math couples samples within a micro-batch:
+    #   top-k sorts, relativistic means, dual-contrastive softmaxes, SimCLR
+    #   negatives, per-micro-batch style-mixing cutoffs (vmapped),
+    # * sums of per-micro-batch means become means over equal-sized groups,
+    #   so losses/grads match the scan up to float reassociation
+    #   (tests/test_train.py::test_fused_microbatches_match_scan).
+    #
+    # Multi-chip note: the flatten (accum, B) -> (accum*B) is device-
+    # contiguous when the batch is sharded on the accum axis; sharding on B
+    # also works (GSPMD inserts a small image all-to-all).
+    enc_flags_static = tuple(
+        bool(x) for x in np.asarray(microbatch_schedule(accum, tc.alternating_training))
+    )
+    enc_idx = tuple(i for i, f in enumerate(enc_flags_static) if f)
+    prior_idx = tuple(i for i, f in enumerate(enc_flags_static) if not f)
+
+    def _key_chain(rng: jax.Array, n: int):
+        """Replay the scan's per-micro-batch split chain: each iteration does
+        ``rng, k1..k(n-1) = split(rng, n)``; returns (final rng, (accum, n-1)
+        keys in schedule order)."""
+        keys = []
+        for _ in range(accum):
+            parts = jax.random.split(rng, n)
+            rng = parts[0]
+            keys.append(parts[1:])
+        return rng, jnp.stack(keys)
+
+    def _take_mb(x, idx):
+        """Gather micro-batches ``idx`` from an (accum, B, ...) array and
+        flatten to (len(idx)*B, ...)."""
+        sub = jnp.stack([x[i] for i in idx])
+        return sub.reshape((len(idx) * x.shape[1],) + x.shape[2:])
+
+    def _assemble_w(params_like, k_prior, imgs_mb, logits_or_probs, B):
+        """Per-micro-batch w tensors in schedule order: encoder micro-batches
+        batched through E in one pass, prior micro-batches vmapped over their
+        per-micro-batch keys (style-mixing cutoff is per micro-batch).
+        Returns (w_all (accum,B,L,D), enc_out (n_enc*B, E) or None,
+        enc_imgs flat or None, enc_logits flat or None)."""
+        logits_all, probs_all = logits_or_probs
+        w_parts = [None] * accum
+        enc_out = enc_imgs = enc_logits = None
+        if enc_idx:
+            enc_imgs = _take_mb(imgs_mb, enc_idx)
+            if logits_all is not None:
+                enc_logits = _take_mb(logits_all, enc_idx)
+            else:
+                enc_logits = classifier_fn(enc_imgs)
+            w_enc, enc_out = encoder_w(params_like, enc_imgs, enc_logits)
+            w_enc = w_enc.reshape((len(enc_idx), B) + w_enc.shape[1:])
+            for j, i in enumerate(enc_idx):
+                w_parts[i] = w_enc[j]
+        if prior_idx:
+            kp = jnp.stack([k_prior[i] for i in prior_idx])
+            if cfg.arch == Arch.NEW:
+                pp = jnp.stack([probs_all[i] for i in prior_idx])
+                w_pri = jax.vmap(
+                    lambda k, pr: sample_prior_w(params_like, k, B, pr)
+                )(kp, pp)
+            else:
+                w_pri = jax.vmap(lambda k: sample_prior_w(params_like, k, B, None))(kp)
+            for j, i in enumerate(prior_idx):
+                w_parts[i] = w_pri[j]
+        return jnp.stack(w_parts), enc_out, enc_imgs, enc_logits
+
+    def d_phase_wide(params: Params, rng, d_real, d_enc, apply_gp, apply_cl_gen):
+        rng, keys = _key_chain(rng, 7)
+        k_prior, k_noise, k_augf, k_augr, k_cl_r, k_cl_f = (
+            keys[:, j] for j in range(6)
+        )
+        B = d_real.shape[1]
+        AB = accum * B
+        flat = lambda x: x.reshape((AB,) + x.shape[2:])
+
+        if cfg.arch == Arch.NEW:
+            logits_all = classifier_fn(flat(d_enc)).reshape(accum, B, -1)
+            probs_all = jax.nn.softmax(logits_all, axis=-1)
+            probs_flat = flat(probs_all)
+        else:
+            logits_all = probs_all = probs_flat = None
+
+        w_all, _, enc_imgs, enc_logits = _assemble_w(
+            params, k_prior, d_enc, (logits_all, probs_all), B
+        )
+        noise_all = jax.vmap(lambda k: image_noise(k, B, B_noise_size))(k_noise)
+        fake, _ = modules.generate(
+            cast_tree(params), cast(flat(w_all)), cast(flat(noise_all))
+        )
+        fake = lax.stop_gradient(fake)
+        fake_mb = fake.reshape((accum, B) + fake.shape[1:])
+
+        vaug = jax.vmap(
+            lambda k, im: augment_for_discriminator(k, im, aug_prob, aug_types)
+        )
+
+        def d_loss(dp):
+            p = {**cast_tree(params), "D": cast_tree(dp)}
+            aug_f = vaug(k_augf, cast(fake_mb))
+            aug_r = vaug(k_augr, cast(d_real))
+            both = jnp.concatenate([flat(aug_f), flat(aug_r)], axis=0)
+            probs2 = (
+                jnp.concatenate([probs_flat, probs_flat], axis=0)
+                if probs_flat is not None
+                else None
+            )
+            q_loss = jnp.zeros(())
+            if cfg.fq_layers:
+                variables = {"params": p["D"], "vq": p["D_vq"]}
+                args = (both, probs2) if cfg.arch == Arch.NEW else (both,)
+                scores, inter = modules.D.apply(
+                    variables, *args, mutable=["intermediates"]
+                )
+                scores = scores.astype(jnp.float32)
+                q_loss = 2.0 * sum(
+                    jnp.sum(v) for v in jax.tree.leaves(inter["intermediates"])
+                )
+            else:
+                scores = modules.discriminate(p, both, probs2).astype(jnp.float32)
+            fake_scores = scores[:AB].reshape(accum, B)
+            real_scores = scores[AB:].reshape(accum, B)
+            r, f = real_scores, fake_scores
+            if tc.rel_disc_loss:
+                # per-micro-batch means, as in the sequential loop
+                r = real_scores - jnp.mean(fake_scores, axis=1, keepdims=True)
+                f = fake_scores - jnp.mean(real_scores, axis=1, keepdims=True)
+            if tc.dual_contrast_loss:
+                div = jnp.mean(jax.vmap(d_loss_fn_)(r, f))
+            else:
+                # hinge: mean over all == mean of per-micro-batch means
+                div = d_loss_fn_(r, f)
+
+            def gp_branch():
+                def gp_one(k_r, im, pr):
+                    score = lambda x: d_score(p, cast(x), pr, k_r).astype(jnp.float32)
+                    return gradient_penalty(score, im)
+
+                if probs_all is not None:
+                    gps = jax.vmap(gp_one)(k_augr, d_real, probs_all)
+                else:
+                    gps = jax.vmap(lambda k, im: gp_one(k, im, None))(k_augr, d_real)
+                return jnp.mean(gps).astype(div.dtype)
+
+            gp = lax.cond(apply_gp, gp_branch, lambda: jnp.zeros((), div.dtype))
+            q_loss = q_loss.astype(div.dtype)
+            cr_loss = jnp.zeros((), div.dtype)
+            if tc.cl_reg:
+                from stylex_tpu.losses.contrastive import contrastive_d_loss
+
+                feats_vars = {"params": p["D"]}
+                if "D_vq" in p:
+                    feats_vars["vq"] = p["D_vq"]
+                feats = lambda im: modules.D.apply(
+                    feats_vars, im, return_features=True
+                )
+                vcl = jax.vmap(lambda k, im: contrastive_d_loss(feats, k, im))
+                cl = jnp.mean(vcl(k_cl_r, d_real))
+                cl_gen = lax.cond(
+                    apply_cl_gen,
+                    lambda: jnp.mean(vcl(k_cl_f, fake_mb)),
+                    lambda: jnp.zeros(()),
+                )
+                cr_loss = (cl + cl_gen).astype(div.dtype)
+            # the scan accumulates sum_i loss_i/accum == these micro-batch
+            # means, so no extra /accum here
+            return div + gp + q_loss + cr_loss, (div, gp, q_loss, cr_loss)
+
+        (_, (div, gp, q_l, cr_l)), d_grads = jax.value_and_grad(d_loss, has_aux=True)(
+            params["D"]
+        )
+
+        gside_grads = _tree_zeros_like({k: params[k] for k in ("encoder", "S", "G")})
+        if tc.kl_rec_during_disc and cfg.arch == Arch.NEW and enc_idx:
+            noise_enc = _take_mb(noise_all, enc_idx)
+
+            def aux_loss(gp_):
+                p = {**params, **gp_}
+                w, enc_out = encoder_w(p, enc_imgs, enc_logits)
+                fake2, _ = modules.generate(p, w, noise_enc)
+                fake2_w = modules.encode(p, fake2)
+                rec = tc.rec_scaling * reconstruction_loss(
+                    lpips_params, enc_imgs, fake2, fake2_w, enc_out
+                )
+                kl = tc.kl_scaling * classifier_kl_loss(
+                    enc_logits, classifier_fn(fake2)
+                )
+                # scan: sum over enc micro-batches of mean_i/accum
+                return (rec + kl) * (len(enc_idx) / accum)
+
+            gside_grads = jax.grad(aux_loss)(
+                {k: params[k] for k in ("encoder", "S", "G")}
+            )
+
+        return (
+            d_grads,
+            gside_grads,
+            div,
+            gp,
+            q_l.astype(jnp.float32),
+            cr_l.astype(jnp.float32),
+            rng,
+        )
+
+    def g_phase_wide(params: Params, rng, g_imgs, g_real, apply_pl, pl_mean, top_k,
+                     gside_init):
+        rng, keys = _key_chain(rng, 6)
+        k_prior, k_noise, k_aug, k_augr, k_pl = (keys[:, j] for j in range(5))
+        B = g_imgs.shape[1]
+        AB = accum * B
+        flat = lambda x: x.reshape((AB,) + x.shape[2:])
+        vaug = jax.vmap(
+            lambda k, im: augment_for_discriminator(k, im, aug_prob, aug_types)
+        )
+
+        def g_loss(gp_):
+            p = {**cast_tree(params), **cast_tree(gp_)}
+            logits_flat = classifier_fn(flat(g_imgs)).astype(jnp.float32)
+            logits_all = logits_flat.reshape(accum, B, -1)
+            if cfg.arch == Arch.NEW:
+                probs_all = jax.nn.softmax(logits_all, axis=-1)
+                probs_flat = flat(probs_all)
+            else:
+                probs_all = probs_flat = None
+
+            w_all, enc_out_enc, enc_imgs, enc_logits = _assemble_w(
+                p, k_prior, g_imgs, (logits_all, probs_all), B
+            )
+            noise_all = jax.vmap(lambda k: image_noise(k, B, B_noise_size))(k_noise)
+            fake, _ = modules.generate(p, cast(flat(w_all)), cast(flat(noise_all)))
+            fake_logits = classifier_fn(fake).astype(jnp.float32)
+            fake_mb = fake.reshape((accum, B) + fake.shape[1:])
+            aug_fake = vaug(k_aug, cast(fake_mb))
+            fake_scores = (
+                modules.discriminate(p, flat(aug_fake), probs_flat)
+                .astype(jnp.float32)
+                .reshape(accum, B)
+            )
+
+            if g_needs_reals:
+                aug_real = vaug(k_augr, cast(g_real))
+                real_scores = lax.stop_gradient(
+                    modules.discriminate(p, flat(aug_real), probs_flat)
+                ).astype(jnp.float32).reshape(accum, B)
+                gen = jnp.mean(jax.vmap(dual_contrastive_loss)(fake_scores, real_scores))
+            else:
+                # per-micro-batch top-k (`stylex_train.py:1399-1405`)
+                sorted_scores = jnp.sort(fake_scores, axis=1)
+                mask = (jnp.arange(B)[None, :] < top_k).astype(sorted_scores.dtype)
+                per_mb = jnp.sum(sorted_scores * mask, axis=1) / jnp.maximum(
+                    top_k, 1
+                ).astype(sorted_scores.dtype)
+                gen = jnp.mean(per_mb)
+
+            def pl_branch():
+                def pl_one(w_i, n_i, k_i):
+                    gen_fn = lambda w: modules.generate(p, w, n_i)[0]
+                    return path_length_penalty(gen_fn, w_i, k_i, pl_mean)
+
+                pens, lens = jax.vmap(pl_one)(w_all, noise_all, k_pl)
+                pens = jnp.where(pl_mean >= 0, pens, 0.0)
+                # scan keeps the LAST micro-batch's mean length
+                return jnp.mean(pens), lens[-1]
+
+            pl_pen, pl_len = lax.cond(
+                apply_pl, pl_branch, lambda: (jnp.zeros(()), jnp.zeros(()))
+            )
+
+            rec = kl = jnp.zeros(())
+            if enc_idx:
+                fake_enc = _take_mb(fake_mb, enc_idx)
+                fake_logits_enc = _take_mb(
+                    fake_logits.reshape(accum, B, -1), enc_idx
+                )
+                fake_w = modules.encode(p, fake_enc)
+                scale = len(enc_idx) / accum
+                rec = eff_rec * scale * reconstruction_loss(
+                    lpips_params, enc_imgs, fake_enc, fake_w, enc_out_enc
+                )
+                kl = eff_kl * scale * classifier_kl_loss(enc_logits, fake_logits_enc)
+
+            total = gen + pl_pen + rec + kl
+            return total, (gen, rec, kl, pl_len)
+
+        gsub = {k: params[k] for k in ("encoder", "S", "G")}
+        (_, (gen, rec, kl, pl_len)), grads = jax.value_and_grad(g_loss, has_aux=True)(
+            gsub
+        )
+        g_grads = _tree_add(gside_init, grads)
+        pl_last = jnp.where(apply_pl, pl_len, jnp.zeros(()))
+        return g_grads, gen, rec, kl, pl_last, rng
+
+    if tc.fused_microbatches:
+        d_phase_impl, g_phase_impl = d_phase_wide, g_phase_wide
+    else:
+        d_phase_impl, g_phase_impl = d_phase, g_phase
+
     # ------------------------------------------------------------ full step
     def train_step(state: StylExTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         # uint8 batches (the loader's quantized transfer format — 4x less
@@ -469,7 +778,7 @@ def make_train_step(
 
         apply_cl_gen = step > 20_000
         rng_d, rng_g = jax.random.split(rng)
-        d_grads, gside_from_d, d_div, gp, q_l, cr_l, _ = d_phase(
+        d_grads, gside_from_d, d_div, gp, q_l, cr_l, _ = d_phase_impl(
             params, rng_d, batch["d_real"], batch["d_enc"], apply_gp, apply_cl_gen
         )
 
@@ -500,7 +809,7 @@ def make_train_step(
                 )
                 params = {**params, "E_vq": e_upd["vq"]}
 
-        g_grads, g_loss, rec, kl, pl_len, _ = g_phase(
+        g_grads, g_loss, rec, kl, pl_len, _ = g_phase_impl(
             params, rng_g, batch["g_imgs"], g_real, apply_pl, state.pl_mean, top_k, gside_from_d
         )
         gsub = {k: params[k] for k in ("encoder", "S", "G")}

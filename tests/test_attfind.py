@@ -138,6 +138,24 @@ def test_block_resume_matches_flat_sweep(tiny_setup, records):
     np.testing.assert_array_equal(records.base_prob, flat.base_prob)
 
 
+def test_multi_chunk_dispatch_matches_per_chunk(tiny_setup, records):
+    """K chunks fused into one lax.scan dispatch (chunks_per_dispatch) must
+    be bit-identical to one dispatch per chunk — same chunk bodies, same
+    enumeration order, tail padding trimmed."""
+    cfg, modules, params, clf_fn, images, noise = tiny_setup
+    single = attfind_extraction(
+        modules, params, clf_fn, images, noise, coord_batch=64, progress=False,
+        chunks_per_dispatch=1,
+    )
+    np.testing.assert_array_equal(records.style_change, single.style_change)
+    # and a K that does NOT divide the chunk count, forcing tail padding
+    k3 = attfind_extraction(
+        modules, params, clf_fn, images, noise, coord_batch=64, progress=False,
+        chunks_per_dispatch=3,
+    )
+    np.testing.assert_array_equal(records.style_change, k3.style_change)
+
+
 def test_visualize_style_filters_on_realized_prob_change(tiny_setup, records):
     """Cell 20's post-generation filter: a panel survives only if the
     RE-GENERATED counterfactual moves the classifier probability by at

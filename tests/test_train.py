@@ -103,6 +103,83 @@ def test_two_steps_update_params_and_stay_finite(tiny_train):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "arch,tc_kwargs",
+    [
+        (Arch.OLD, {}),
+        (Arch.NEW, {"kl_rec_during_disc": True}),
+        (Arch.OLD, {"rel_disc_loss": True, "top_k_training": True}),
+        (Arch.OLD, {"dual_contrast_loss": True}),
+        (Arch.OLD, {"cl_reg": True}),
+        (Arch.OLD, {"alternating_training": False}),
+    ],
+)
+def test_fused_microbatches_match_scan(arch, tc_kwargs):
+    """The fused (wide) step must equal the literal accumulation scan on
+    identical state/batch/key: the RNG chain is replayed exactly and sums of
+    per-micro-batch means become means over equal groups, so the only
+    differences are float reassociation.
+
+    Compared under SGD, not Adam: with SGD the param diff is lr * grad diff,
+    a direct gradient comparison. Adam normalises by sqrt(v), so on
+    coordinates whose gradient is ~0 (e.g. D biases under the relativistic
+    shift) reassociation noise flips the update's *sign* — an intrinsic
+    optimizer property, not a semantics difference (observed: 5/128 bias
+    elements off by ~1e-4 with matching losses). Adam integration is covered
+    by test_two_steps_update_params_and_stay_finite and the end-to-end
+    suite."""
+    import optax
+
+    cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34,
+                      encoder_dim=32, arch=arch)
+    modules = build_stylex(cfg)
+    clf = build_classifier("mobilenet", cfg.image_size)
+    lp = init_lpips_params(jax.random.PRNGKey(1))
+    batch = {
+        k: jax.random.uniform(jax.random.PRNGKey(i), (4, 2, 16, 16, 3))
+        for i, k in enumerate(("d_real", "d_enc", "g_imgs"))
+    }
+    results = {}
+    for fused in (False, True):
+        # pl_start_step=-1/pl_every=1 force the PL branch live; GP fires at
+        # step 0 anyway — so every penalty path is compared, not just hinge.
+        tc = TrainConfig(batch_size=2, gradient_accumulate_every=4, aug_prob=0.25,
+                         fused_microbatches=fused, pl_start_step=-1, pl_every=1,
+                         **tc_kwargs)
+        state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
+        g_tx = d_tx = optax.sgd(1e-2)
+        state = state.replace(
+            pl_mean=jnp.asarray(1.0),
+            g_opt_state=g_tx.init({k: state.params[k] for k in ("encoder", "S", "G")}),
+            d_opt_state=d_tx.init(state.params["D"]),
+        )
+        step = jax.jit(make_train_step(
+            modules, clf.classify_images, lp, cfg, tc, g_tx, d_tx,
+        ))
+        b = dict(batch)
+        if tc.dual_contrast_loss:
+            b["g_real"] = jax.random.uniform(jax.random.PRNGKey(9), (4, 2, 16, 16, 3))
+        if tc.top_k_training:
+            b["top_k"] = jnp.asarray(1, jnp.int32)
+        results[fused] = step(state, b, jax.random.PRNGKey(2))
+
+    (s_scan, m_scan), (s_wide, m_wide) = results[False], results[True]
+    for k in m_scan:
+        np.testing.assert_allclose(
+            float(m_scan[k]), float(m_wide[k]), rtol=2e-4, atol=1e-5,
+            err_msg=f"metric {k}",
+        )
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(s_scan.params)
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(s_wide.params)
+    for (path, a), (_, b_) in zip(flat_a, flat_b):
+        # SGD: params diff == lr * grad diff -> direct gradient comparison
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_train, tmp_path):
     cfg, tc, modules, state, step, batch = tiny_train
     state, _ = step(state, batch, jax.random.PRNGKey(12))
