@@ -157,12 +157,24 @@ def _capture_states(modules, params, cfg, w_all, noise, phase1_batch):
         _, _, states = modules.generate(params, w_styles, noise, capture_states=True)
         return states
 
-    chunks = [cap(w_all[s : s + phase1_batch]) for s in range(0, w_all.shape[0], phase1_batch)]
+    N = w_all.shape[0]
+    chunks = []
+    for s in range(0, N, phase1_batch):
+        wc = w_all[s : s + phase1_batch]
+        tail = phase1_batch - wc.shape[0]
+        if tail:
+            # fixed batch: a ragged tail would compile a second program
+            wc = jnp.concatenate([wc, jnp.zeros((tail,) + wc.shape[1:], wc.dtype)])
+        chunks.append(cap(wc))
     num_blocks = len(chunks[0])
     out = []
     for k in range(num_blocks):
-        x = jnp.concatenate([c[k][0] for c in chunks])
-        rgb = None if chunks[0][k][1] is None else jnp.concatenate([c[k][1] for c in chunks])
+        x = jnp.concatenate([c[k][0] for c in chunks])[:N]
+        rgb = (
+            None
+            if chunks[0][k][1] is None
+            else jnp.concatenate([c[k][1] for c in chunks])[:N]
+        )
         out.append((x, rgb))
     return out
 
@@ -259,25 +271,43 @@ def attfind_extraction(
     Returns:
       :class:`AttFindRecords`.
     """
+    import time as _time
+
     cfg = modules.cfg
     C = modules.total_style_coords
     images = np.asarray(images, np.float32)
     noise_j = jnp.asarray(noise)
+    _t0 = _time.perf_counter()
+    _mark = lambda tag: progress and print(
+        f"attfind[{tag}] +{_time.perf_counter() - _t0:.1f}s", flush=True
+    )
 
     # ---- phase 1 (batched over images) ------------------------------------
     phase1 = jax.jit(lambda imgs: _phase1(modules, params, classifier_fn, cfg, imgs, noise_j))
     ws, coords, d_outs, base_logits = [], [], [], []
+    first = True
     for start in range(0, images.shape[0], phase1_batch):
-        chunk = jnp.asarray(images[start : start + phase1_batch])
-        w, sc, d, bl = phase1(chunk)
-        ws.append(np.asarray(w))
-        coords.append(np.asarray(sc))
-        d_outs.append(np.asarray(d).reshape(-1))
-        base_logits.append(np.asarray(bl))
+        chunk_np = images[start : start + phase1_batch]
+        tail = phase1_batch - chunk_np.shape[0]
+        if tail:
+            # pad the final chunk to the fixed batch: a ragged tail would
+            # compile a second phase-1 program (~minutes on a relayed TPU)
+            chunk_np = np.concatenate([chunk_np, np.zeros((tail,) + chunk_np.shape[1:], chunk_np.dtype)])
+        w, sc, d, bl = phase1(jnp.asarray(chunk_np))
+        if first:
+            jax.block_until_ready(w)
+            _mark("phase1_first_chunk")  # compile + params transfer land here
+            first = False
+        n_keep = phase1_batch - tail
+        ws.append(np.asarray(w)[:n_keep])
+        coords.append(np.asarray(sc)[:n_keep])
+        d_outs.append(np.asarray(d).reshape(-1)[:n_keep])
+        base_logits.append(np.asarray(bl)[:n_keep])
     w_all = np.concatenate(ws)
     coords_all = np.concatenate(coords)
     d_all = np.concatenate(d_outs)
     logits_all = np.concatenate(base_logits)
+    _mark("phase1")
 
     if use_discriminator and discriminator_threshold is not None:
         keep = d_all < discriminator_threshold
@@ -353,6 +383,8 @@ def attfind_extraction(
         # group by generator block; resume from cached per-image states so
         # blocks upstream of the perturbed coordinate are never recomputed
         states = _capture_states(modules, params, cfg, w_dev, noise_j, phase1_batch)
+        jax.block_until_ready(states[0][0])
+        _mark("capture_states")
         block_dims = modules.G.block_dims
         per_block = []
         offset = 0
@@ -377,6 +409,7 @@ def attfind_extraction(
 
             eff = _chunked(N * 2 * size_k, ids_builder, run_chunk,
                            f"AttFind sweep (block {k})")
+            _mark(f"block{k}")
             per_block.append(eff.reshape(N, 2, size_k, -1))
             # states[k] is dead after its block: free the device buffers so
             # peak residency is one block's states, not all of them (at
@@ -430,9 +463,14 @@ def find_discriminator_threshold(
     noise_j = jnp.asarray(noise)
     phase1 = jax.jit(lambda imgs: _phase1(modules, params, classifier_fn, cfg, imgs, noise_j))
     outs = []
+    images = np.asarray(images, np.float32)
     for start in range(0, images.shape[0], phase1_batch):
-        _, _, d, _ = phase1(jnp.asarray(images[start : start + phase1_batch]))
-        outs.append(np.asarray(d).reshape(-1))
+        chunk = images[start : start + phase1_batch]
+        tail = phase1_batch - chunk.shape[0]
+        if tail:  # fixed batch: a ragged tail would compile a second program
+            chunk = np.concatenate([chunk, np.zeros((tail,) + chunk.shape[1:], chunk.dtype)])
+        _, _, d, _ = phase1(jnp.asarray(chunk))
+        outs.append(np.asarray(d).reshape(-1)[: phase1_batch - tail])
     return np.concatenate(outs)
 
 

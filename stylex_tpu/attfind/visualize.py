@@ -28,12 +28,28 @@ __all__ = [
 ]
 
 
+# jitted per (modules, classifier) identity: un-jitted generation runs
+# op-by-op — one relay round-trip per XLA op on a tunneled TPU, which made
+# a single panel take minutes (r4 250-image run). params stay an argument,
+# so checkpoint reloads never stale the cache.
+_GEN_JIT_CACHE: dict = {}
+
+
 def _gen(modules, params, classifier_fn, w, noise, delta=None):
-    w_styles = expand_styles(w, modules.num_layers)
-    # shared noise stays batch-1; the generator broadcasts at the add
-    imgs, _ = modules.generate(params, w_styles, jnp.asarray(noise), style_delta=delta)
-    probs = jax.nn.softmax(classifier_fn(imgs), axis=-1)
-    return jnp.clip(imgs, 0.0, 1.0), probs
+    key = (id(modules), id(classifier_fn))
+    fn = _GEN_JIT_CACHE.get(key)
+    if fn is None:
+
+        def run(params, w, noise, delta):
+            w_styles = expand_styles(w, modules.num_layers)
+            # shared noise stays batch-1; the generator broadcasts at the add
+            imgs, _ = modules.generate(params, w_styles, noise, style_delta=delta)
+            probs = jax.nn.softmax(classifier_fn(imgs), axis=-1)
+            return jnp.clip(imgs, 0.0, 1.0), probs
+
+        fn = jax.jit(run)
+        _GEN_JIT_CACHE[key] = fn
+    return fn(params, w, jnp.asarray(noise), delta)
 
 
 def generate_change_image_given_dlatent(
@@ -51,7 +67,8 @@ def generate_change_image_given_dlatent(
 ):
     """Single-coordinate counterfactual (cell 17): returns
     (perturbed_image, prob_of_class)."""
-    w = jnp.asarray(dlatent)[None]
+    # host-side staging: eager device ops each cost a relay round-trip
+    w = jnp.asarray(np.asarray(dlatent)[None])
     coord = (
         records.style_coordinates[image_index, sindex]
         if image_index is not None
@@ -60,8 +77,9 @@ def generate_change_image_given_dlatent(
     extreme = records.minima[sindex] if direction == 0 else records.maxima[sindex]
     shift = (extreme - coord) * shift_size
     C = records.style_change.shape[2]
-    delta = jnp.zeros((1, C)).at[0, sindex].set(shift)
-    img, probs = _gen(modules, params, classifier_fn, w, noise, delta)
+    delta_np = np.zeros((1, C), np.float32)
+    delta_np[0, sindex] = shift
+    img, probs = _gen(modules, params, classifier_fn, w, noise, jnp.asarray(delta_np))
     return np.asarray(img[0]), float(probs[0, class_index])
 
 
@@ -77,7 +95,7 @@ def generate_images_given_dlatent(
     reference's 3-tuple return that cell 20 filters on)."""
     from stylex_tpu.utils.image import to_uint8
 
-    w = jnp.asarray(dlatent)[None]
+    w = jnp.asarray(np.asarray(dlatent)[None])
     base_img, base_probs = _gen(modules, params, classifier_fn, w, noise)
     pert_img, pert_prob = generate_change_image_given_dlatent(
         modules, params, classifier_fn, dlatent, noise, records,

@@ -116,7 +116,7 @@ def main(argv=None) -> None:
         classifier_name=args.classifier_name,
         classifier_path=args.classifier_path,
     )
-    trainer.load(args.load_from)
+    trainer.load(args.load_from, inference=True)
     modules, params = trainer.modules, trainer.full_params
     clf_fn = trainer.classifier.classify_images
 

@@ -70,6 +70,12 @@ def main(argv=None) -> None:
     from stylex_tpu.data.mnist import SyntheticImageDataset
     from stylex_tpu.train.trainer import Trainer
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _mark = lambda tag: print(
+        f"run_attfind[{tag}] +{_time.perf_counter() - _t0:.1f}s", flush=True
+    )
     trainer = Trainer(
         name=args.name,
         base_dir=args.base_dir,
@@ -77,7 +83,9 @@ def main(argv=None) -> None:
         classifier_name=args.classifier_name,
         classifier_path=args.classifier_path,
     )
-    trainer.load(args.load_from)
+    _mark("trainer_init")
+    trainer.load(args.load_from, inference=True)
+    _mark("checkpoint_load")
     modules, params = trainer.modules, trainer.full_params
     cfg = trainer.model_cfg
     clf_fn = trainer.classifier.classify_images

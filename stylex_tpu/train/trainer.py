@@ -478,7 +478,11 @@ class Trainer:
         self._drain(0)
         self._ckpt_writer.wait()
 
-    def load(self, num: int = -1) -> None:
+    def load(self, num: int = -1, inference: bool = False) -> None:
+        """Restore a checkpoint. ``inference=True`` ships only params/EMA to
+        the device (optimizer slots stay host numpy — ~2/3 of the bytes of a
+        checkpoint, ~2 min of relay transfer at the 64px flagship); use it
+        for AttFind/eval/replay consumers that never step the optimizer."""
         self._ckpt_writer.wait()  # an in-flight save may be the file we read
         self.load_config()
         self.init_stylex()
@@ -490,7 +494,12 @@ class Trainer:
         else:
             path = str(self.models_dir / self.name / f"model_{num}.ckpt")
         self._pending.clear()  # in-flight metrics belong to rolled-back steps
-        self.state = load_checkpoint(path, self.state)
+        if inference:
+            from stylex_tpu.utils.checkpoint import load_checkpoint_inference
+
+            self.state = load_checkpoint_inference(path, self.state)
+        else:
+            self.state = load_checkpoint(path, self.state)
         # the reference reconstructs steps as num * save_every (`:1767-1770`)
         if int(self.state.step) == 0:
             self.state = self.state.replace(

@@ -253,7 +253,7 @@ def main(argv=None) -> None:
         classifier_name=args.classifier_name,
         classifier_path=args.classifier_path,
     )
-    trainer.load(args.load_from)
+    trainer.load(args.load_from, inference=True)
     studies = generate_user_study(
         trainer.modules,
         trainer.full_params,

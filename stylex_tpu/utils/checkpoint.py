@@ -152,3 +152,33 @@ def load_checkpoint(path: str, state_template):
         return jax.device_put(arr, sharding) if sharding is not None else arr
 
     return jax.tree.map(place, state_template, restored)
+
+
+def load_checkpoint_inference(path: str, state_template):
+    """Like :func:`load_checkpoint` but ships ONLY params/ema_params/step/
+    pl_mean to the device; optimizer slots stay host numpy. Adam moments are
+    ~2/3 of a checkpoint's bytes (measured 770 MB at the 64px flagship) and
+    a relayed-TPU transfer runs ~6 MB/s — inference consumers (AttFind,
+    eval, replay) were blocking ~2 min on state they never read."""
+    import jax
+    import jax.numpy as jnp
+
+    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    restored = serialization.from_state_dict(state_template, payload["state"])
+
+    def place(t, v):
+        if not hasattr(t, "dtype"):
+            return v
+        arr = jnp.asarray(v, getattr(t, "dtype", None))
+        sharding = getattr(t, "sharding", None)
+        return jax.device_put(arr, sharding) if sharding is not None else arr
+
+    hot = {"params", "ema_params", "step", "pl_mean"}
+    out = {}
+    for field in state_template.__dataclass_fields__:
+        t_sub = getattr(state_template, field)
+        v_sub = getattr(restored, field)
+        out[field] = (
+            jax.tree.map(place, t_sub, v_sub) if field in hot else v_sub
+        )
+    return state_template.replace(**out)
