@@ -590,15 +590,19 @@ def make_train_step(
                 div = d_loss_fn_(r, f)
 
             def gp_branch():
-                def gp_one(k_r, im, pr):
-                    score = lambda x: d_score(p, cast(x), pr, k_r).astype(jnp.float32)
-                    return gradient_penalty(score, im)
+                # ONE batched R1 grad over all accum*B reals — per-sample
+                # score sums decouple, so this equals the per-micro-batch
+                # gradient_penalty means exactly; a vmap-of-grad would also
+                # push rank-5 batches into the Pallas blur kernels, which
+                # Mosaic cannot lower.
+                def score_sum(imgs_mb):
+                    aug = vaug(k_augr, cast(imgs_mb))
+                    s = modules.discriminate(p, flat(aug), probs_flat)
+                    return jnp.sum(s.astype(jnp.float32))
 
-                if probs_all is not None:
-                    gps = jax.vmap(gp_one)(k_augr, d_real, probs_all)
-                else:
-                    gps = jax.vmap(lambda k, im: gp_one(k, im, None))(k_augr, d_real)
-                return jnp.mean(gps).astype(div.dtype)
+                grads = jax.grad(score_sum)(d_real)
+                norms = jnp.linalg.norm(grads.reshape(AB, -1), axis=1)
+                return (10.0 * jnp.mean(jnp.square(norms - 1.0))).astype(div.dtype)
 
             gp = lax.cond(apply_gp, gp_branch, lambda: jnp.zeros((), div.dtype))
             q_loss = q_loss.astype(div.dtype)
@@ -612,11 +616,19 @@ def make_train_step(
                 feats = lambda im: modules.D.apply(
                     feats_vars, im, return_features=True
                 )
-                vcl = jax.vmap(lambda k, im: contrastive_d_loss(feats, k, im))
-                cl = jnp.mean(vcl(k_cl_r, d_real))
+                # trace-time unroll, not vmap: SimCLR negatives live within
+                # each micro-batch, and a vmapped D forward would batch the
+                # Pallas blur kernels to rank 5 (unliftable on TPU)
+                cl = jnp.mean(jnp.stack([
+                    contrastive_d_loss(feats, k_cl_r[i], d_real[i])
+                    for i in range(accum)
+                ]))
                 cl_gen = lax.cond(
                     apply_cl_gen,
-                    lambda: jnp.mean(vcl(k_cl_f, fake_mb)),
+                    lambda: jnp.mean(jnp.stack([
+                        contrastive_d_loss(feats, k_cl_f[i], fake_mb[i])
+                        for i in range(accum)
+                    ])),
                     lambda: jnp.zeros(()),
                 )
                 cr_loss = (cl + cl_gen).astype(div.dtype)
@@ -711,14 +723,32 @@ def make_train_step(
                 gen = jnp.mean(per_mb)
 
             def pl_branch():
-                def pl_one(w_i, n_i, k_i):
-                    gen_fn = lambda w: modules.generate(p, w, n_i)[0]
-                    return path_length_penalty(gen_fn, w_i, k_i, pl_mean)
+                # ONE batched path-length grad over all accum*B samples —
+                # the projection sum decouples per sample, so per-sample
+                # grads (and hence per-micro-batch penalties) match the
+                # sequential loop exactly; per-micro-batch pl-noise keys are
+                # replayed via a vmapped draw (pure RNG — no Pallas inside).
+                w_flat = flat(w_all)
+                noise_flat = flat(noise_all)
 
-                pens, lens = jax.vmap(pl_one)(w_all, noise_all, k_pl)
+                def proj(wf):
+                    images = modules.generate(p, wf, noise_flat)[0]
+                    num_pixels = images.shape[1] * images.shape[2]
+                    pl_noise = jax.vmap(
+                        lambda k: jax.random.normal(
+                            k, (B,) + images.shape[1:], images.dtype
+                        )
+                    )(k_pl) / jnp.sqrt(jnp.asarray(num_pixels, images.dtype))
+                    return jnp.sum(images * flat(pl_noise))
+
+                pl_grads = jax.grad(proj)(w_flat)
+                lengths = jnp.sqrt(
+                    jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1)
+                ).reshape(accum, B)
+                pens = jnp.mean(jnp.square(lengths - pl_mean), axis=1)
                 pens = jnp.where(pl_mean >= 0, pens, 0.0)
                 # scan keeps the LAST micro-batch's mean length
-                return jnp.mean(pens), lens[-1]
+                return jnp.mean(pens), jnp.mean(lengths[-1])
 
             pl_pen, pl_len = lax.cond(
                 apply_pl, pl_branch, lambda: (jnp.zeros(()), jnp.zeros(()))
