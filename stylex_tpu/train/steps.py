@@ -465,9 +465,13 @@ def make_train_step(
     #   so losses/grads match the scan up to float reassociation
     #   (tests/test_train.py::test_fused_microbatches_match_scan).
     #
-    # Multi-chip note: the flatten (accum, B) -> (accum*B) is device-
-    # contiguous when the batch is sharded on the accum axis; sharding on B
-    # also works (GSPMD inserts a small image all-to-all).
+    # Multi-chip note: the (accum, B) -> (accum*B) flatten is B-MAJOR
+    # (swapaxes then reshape), so with the batch sharded on B — the
+    # trainer's layout — every device's rows stay contiguous and GSPMD
+    # inserts NO collective. (The naive accum-major flatten interleaves
+    # shards: observed as an all-gather of the full image batch, which on
+    # the 8-virtual-device CPU mesh starved the collective rendezvous and
+    # aborted the dryrun.)
     enc_flags_static = tuple(
         bool(x) for x in np.asarray(microbatch_schedule(accum, tc.alternating_training))
     )
@@ -485,11 +489,23 @@ def make_train_step(
             keys.append(parts[1:])
         return rng, jnp.stack(keys)
 
+    def _flat(x):
+        """(accum, B, ...) -> (accum*B, ...), B-major (sharding-contiguous)."""
+        return jnp.swapaxes(x, 0, 1).reshape(
+            (x.shape[0] * x.shape[1],) + x.shape[2:]
+        )
+
+    def _unflat(x, B):
+        """Inverse of :func:`_flat`: (accum*B, ...) -> (accum, B, ...)."""
+        return jnp.swapaxes(x.reshape((B, accum) + x.shape[1:]), 0, 1)
+
     def _take_mb(x, idx):
         """Gather micro-batches ``idx`` from an (accum, B, ...) array and
-        flatten to (len(idx)*B, ...)."""
+        flatten to (len(idx)*B, ...) in the same B-major order."""
         sub = jnp.stack([x[i] for i in idx])
-        return sub.reshape((len(idx) * x.shape[1],) + x.shape[2:])
+        return jnp.swapaxes(sub, 0, 1).reshape(
+            (len(idx) * x.shape[1],) + x.shape[2:]
+        )
 
     def _assemble_w(params_like, k_prior, imgs_mb, logits_or_probs, B):
         """Per-micro-batch w tensors in schedule order: encoder micro-batches
@@ -507,7 +523,10 @@ def make_train_step(
             else:
                 enc_logits = classifier_fn(enc_imgs)
             w_enc, enc_out = encoder_w(params_like, enc_imgs, enc_logits)
-            w_enc = w_enc.reshape((len(enc_idx), B) + w_enc.shape[1:])
+            # invert _take_mb's B-major flatten
+            w_enc = jnp.swapaxes(
+                w_enc.reshape((B, len(enc_idx)) + w_enc.shape[1:]), 0, 1
+            )
             for j, i in enumerate(enc_idx):
                 w_parts[i] = w_enc[j]
         if prior_idx:
@@ -530,10 +549,11 @@ def make_train_step(
         )
         B = d_real.shape[1]
         AB = accum * B
-        flat = lambda x: x.reshape((AB,) + x.shape[2:])
+        flat = _flat
+        unflat = lambda x: _unflat(x, B)
 
         if cfg.arch == Arch.NEW:
-            logits_all = classifier_fn(flat(d_enc)).reshape(accum, B, -1)
+            logits_all = unflat(classifier_fn(flat(d_enc)))
             probs_all = jax.nn.softmax(logits_all, axis=-1)
             probs_flat = flat(probs_all)
         else:
@@ -547,7 +567,7 @@ def make_train_step(
             cast_tree(params), cast(flat(w_all)), cast(flat(noise_all))
         )
         fake = lax.stop_gradient(fake)
-        fake_mb = fake.reshape((accum, B) + fake.shape[1:])
+        fake_mb = unflat(fake)
 
         vaug = jax.vmap(
             lambda k, im: augment_for_discriminator(k, im, aug_prob, aug_types)
@@ -576,8 +596,8 @@ def make_train_step(
                 )
             else:
                 scores = modules.discriminate(p, both, probs2).astype(jnp.float32)
-            fake_scores = scores[:AB].reshape(accum, B)
-            real_scores = scores[AB:].reshape(accum, B)
+            fake_scores = unflat(scores[:AB])
+            real_scores = unflat(scores[AB:])
             r, f = real_scores, fake_scores
             if tc.rel_disc_loss:
                 # per-micro-batch means, as in the sequential loop
@@ -678,7 +698,8 @@ def make_train_step(
         k_prior, k_noise, k_aug, k_augr, k_pl = (keys[:, j] for j in range(5))
         B = g_imgs.shape[1]
         AB = accum * B
-        flat = lambda x: x.reshape((AB,) + x.shape[2:])
+        flat = _flat
+        unflat = lambda x: _unflat(x, B)
         vaug = jax.vmap(
             lambda k, im: augment_for_discriminator(k, im, aug_prob, aug_types)
         )
@@ -686,7 +707,7 @@ def make_train_step(
         def g_loss(gp_):
             p = {**cast_tree(params), **cast_tree(gp_)}
             logits_flat = classifier_fn(flat(g_imgs)).astype(jnp.float32)
-            logits_all = logits_flat.reshape(accum, B, -1)
+            logits_all = unflat(logits_flat)
             if cfg.arch == Arch.NEW:
                 probs_all = jax.nn.softmax(logits_all, axis=-1)
                 probs_flat = flat(probs_all)
@@ -699,19 +720,21 @@ def make_train_step(
             noise_all = jax.vmap(lambda k: image_noise(k, B, B_noise_size))(k_noise)
             fake, _ = modules.generate(p, cast(flat(w_all)), cast(flat(noise_all)))
             fake_logits = classifier_fn(fake).astype(jnp.float32)
-            fake_mb = fake.reshape((accum, B) + fake.shape[1:])
+            fake_mb = unflat(fake)
             aug_fake = vaug(k_aug, cast(fake_mb))
-            fake_scores = (
-                modules.discriminate(p, flat(aug_fake), probs_flat)
-                .astype(jnp.float32)
-                .reshape(accum, B)
+            fake_scores = unflat(
+                modules.discriminate(p, flat(aug_fake), probs_flat).astype(
+                    jnp.float32
+                )
             )
 
             if g_needs_reals:
                 aug_real = vaug(k_augr, cast(g_real))
-                real_scores = lax.stop_gradient(
-                    modules.discriminate(p, flat(aug_real), probs_flat)
-                ).astype(jnp.float32).reshape(accum, B)
+                real_scores = unflat(
+                    lax.stop_gradient(
+                        modules.discriminate(p, flat(aug_real), probs_flat)
+                    ).astype(jnp.float32)
+                )
                 gen = jnp.mean(jax.vmap(dual_contrastive_loss)(fake_scores, real_scores))
             else:
                 # per-micro-batch top-k (`stylex_train.py:1399-1405`)
@@ -742,9 +765,9 @@ def make_train_step(
                     return jnp.sum(images * flat(pl_noise))
 
                 pl_grads = jax.grad(proj)(w_flat)
-                lengths = jnp.sqrt(
+                lengths = unflat(jnp.sqrt(
                     jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1)
-                ).reshape(accum, B)
+                ))
                 pens = jnp.mean(jnp.square(lengths - pl_mean), axis=1)
                 pens = jnp.where(pl_mean >= 0, pens, 0.0)
                 # scan keeps the LAST micro-batch's mean length
@@ -757,9 +780,7 @@ def make_train_step(
             rec = kl = jnp.zeros(())
             if enc_idx:
                 fake_enc = _take_mb(fake_mb, enc_idx)
-                fake_logits_enc = _take_mb(
-                    fake_logits.reshape(accum, B, -1), enc_idx
-                )
+                fake_logits_enc = _take_mb(unflat(fake_logits), enc_idx)
                 fake_w = modules.encode(p, fake_enc)
                 scale = len(enc_idx) / accum
                 rec = eff_rec * scale * reconstruction_loss(
