@@ -129,8 +129,11 @@ def bench_attfind(
     n_pair: tuple[int, int] | None = None,
     classifier: str = "mobilenet",
 ):
-    """Slope-time the shipping flat sweep (attfind.extraction._make_sweep_fn)."""
+    """Slope-time the shipping flat sweep (attfind.extraction._make_sweep_fn)
+    under the shipping resample policy (literal graph for forward-only
+    sweeps — stylex_tpu.ops.fusion; explicit env overrides win)."""
     from stylex_tpu.attfind.extraction import _make_sweep_fn
+    from stylex_tpu.ops.fusion import prefer_literal_resample
 
     N = 4  # images resident on device
     cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N, classifier)
@@ -141,20 +144,22 @@ def bench_attfind(
     coord_ids = jnp.asarray(np.arange(coord_batch, dtype=np.int32) % C)
     dir_ids = jnp.asarray(np.arange(coord_batch, dtype=np.int32) % 2)
 
-    t = measure_op(
-        sweep,
-        [w_all, noise, coords_all, minima, maxima, base, img_ids, coord_ids, dir_ids],
-        n_pair=n_pair or ((8, 32) if image_size <= 64 else (2, 8)),
-    )
+    with prefer_literal_resample():  # fusion gates are read at trace time
+        t = measure_op(
+            sweep,
+            [w_all, noise, coords_all, minima, maxima, base, img_ids, coord_ids, dir_ids],
+            n_pair=n_pair or ((8, 32) if image_size <= 64 else (2, 8)),
+        )
     styles_per_sec = coord_batch / t.seconds
 
     mfu = None
     if with_mfu:
         try:
-            lowered = jax.jit(sweep).lower(
-                w_all, noise, coords_all, minima, maxima, base,
-                img_ids, coord_ids, dir_ids,
-            )
+            with prefer_literal_resample():  # same graph as the timing above
+                lowered = jax.jit(sweep).lower(
+                    w_all, noise, coords_all, minima, maxima, base,
+                    img_ids, coord_ids, dir_ids,
+                )
             cost = lowered.compile().cost_analysis()
             if cost:
                 cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -173,28 +178,31 @@ def bench_attfind_resume(image_size: int, coord_batch: int, dtype,
     count, padding included (N=4 resident images, as above)."""
     from stylex_tpu.attfind.extraction import _capture_states, _make_resume_sweep_fn
 
+    from stylex_tpu.ops.fusion import prefer_literal_resample
+
     N = 4
     cfg, modules, params, clf, C, heavy = _sweep_inputs(image_size, dtype, N, classifier)
     w_all, noise, coords_all, minima, maxima, base = heavy
-    states = _capture_states(modules, params, cfg, w_all, noise, 64)
-    total_t, total_p, offset = 0.0, 0, 0
-    for k, (i, o) in enumerate(modules.G.block_dims):
-        size_k = i + o
-        sweep_k = _make_resume_sweep_fn(
-            modules, params, clf.classify_images, cfg, C, 1.0, k, None
-        )
-        x_st, rgb_st = states[k]
-        args = [
-            x_st, rgb_st, w_all, noise, coords_all, minima, maxima, base,
-            jnp.asarray(np.arange(coord_batch, dtype=np.int32) % N),
-            jnp.asarray(offset + np.arange(coord_batch, dtype=np.int32) % size_k),
-            jnp.asarray(np.arange(coord_batch, dtype=np.int32) % 2),
-        ]
-        t = measure_op(sweep_k, args, n_pair=(4, 16))
-        p_k = N * 2 * size_k
-        total_t += -(-p_k // coord_batch) * t.seconds
-        total_p += p_k
-        offset += size_k
+    with prefer_literal_resample():  # the shipping sweep policy
+        states = _capture_states(modules, params, cfg, w_all, noise, 64)
+        total_t, total_p, offset = 0.0, 0, 0
+        for k, (i, o) in enumerate(modules.G.block_dims):
+            size_k = i + o
+            sweep_k = _make_resume_sweep_fn(
+                modules, params, clf.classify_images, cfg, C, 1.0, k, None
+            )
+            x_st, rgb_st = states[k]
+            args = [
+                x_st, rgb_st, w_all, noise, coords_all, minima, maxima, base,
+                jnp.asarray(np.arange(coord_batch, dtype=np.int32) % N),
+                jnp.asarray(offset + np.arange(coord_batch, dtype=np.int32) % size_k),
+                jnp.asarray(np.arange(coord_batch, dtype=np.int32) % 2),
+            ]
+            t = measure_op(sweep_k, args, n_pair=(4, 16))
+            p_k = N * 2 * size_k
+            total_t += -(-p_k // coord_batch) * t.seconds
+            total_p += p_k
+            offset += size_k
     return total_p / total_t
 
 
@@ -293,16 +301,18 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
             bench_attfind_resume(64, coord_batch=616, dtype=dtype), 1
         )
 
-    def unfused64():
-        # A/B: the literal reference-shaped resample graph (the env flag is
-        # read at trace time, so rebuilding the sweep in-process suffices).
-        # Restore any pre-existing value — popping would silently switch a
-        # user-forced unfused run back to fused for the remaining extras.
+    def fused64():
+        # A/B vs the primary: the fused polyphase resample graph. NOT the
+        # sweep default since the r4 interleaved A/B measured the literal
+        # graph ~26% faster forward-only (ops/fusion.py; training still
+        # defaults fused, where the same A/B measured fused +9%). Restore
+        # any pre-existing value — popping would silently flip a user-
+        # forced policy for the remaining extras.
         prior = os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
-        os.environ["STYLEX_TPU_NO_FUSED_UPCONV"] = "1"
+        os.environ["STYLEX_TPU_NO_FUSED_UPCONV"] = "0"  # force fused
         try:
             v, _ = bench_attfind(64, coord_batch=616, dtype=dtype, with_mfu=False)
-            extras["attfind64_unfused_styles_per_sec"] = round(v, 1)
+            extras["attfind64_fused_styles_per_sec"] = round(v, 1)
         finally:
             if prior is None:
                 os.environ.pop("STYLEX_TPU_NO_FUSED_UPCONV", None)
@@ -370,7 +380,7 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
     # calls definitive), then the train-MFU rows VERDICT r3 flags as the
     # weakest axis, then the compile-heavy 256px/resume/resnet tail.
     gated("attfind64_mfu", mfu64)
-    gated("attfind64_unfused", unfused64)
+    gated("attfind64_fused", fused64)
     gated("train64", t64)
     gated("train64_bf16", t64_bf16)
     gated("train64_scan", t64_scan)

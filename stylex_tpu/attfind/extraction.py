@@ -271,6 +271,25 @@ def attfind_extraction(
     Returns:
       :class:`AttFindRecords`.
     """
+    from stylex_tpu.ops.fusion import prefer_literal_resample
+
+    with prefer_literal_resample():
+        # forward-only sweeps measure ~26% faster on the literal resample
+        # graph (interleaved A/B, docs/ROOFLINE.md r4); training keeps the
+        # fused path. Explicit STYLEX_TPU_NO_FUSED_UPCONV overrides.
+        return _attfind_extraction_body(
+            modules, params, classifier_fn, images, noise, shift_size,
+            discriminator_threshold, use_discriminator, coord_batch,
+            phase1_batch, mesh, progress, block_resume, num_images,
+            chunks_per_dispatch,
+        )
+
+
+def _attfind_extraction_body(
+    modules, params, classifier_fn, images, noise, shift_size,
+    discriminator_threshold, use_discriminator, coord_batch, phase1_batch,
+    mesh, progress, block_resume, num_images, chunks_per_dispatch,
+) -> AttFindRecords:
     import time as _time
 
     cfg = modules.cfg

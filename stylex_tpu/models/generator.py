@@ -43,6 +43,7 @@ from stylex_tpu.models.layers import (
 )
 from stylex_tpu.ops.blur import upsample2x_bilinear, upsample2x_blur
 from stylex_tpu.ops.modconv import modulated_conv2d, modulated_upsample_conv2d
+from stylex_tpu.ops.fusion import resample_fusion_enabled
 
 __all__ = [
     "Generator",
@@ -143,7 +144,7 @@ class GeneratorBlock(nn.Module):
         # ops/upconv.py) unless opted out: the unfused path materializes the
         # 4x activation in HBM and is the sweep's most expensive stage
         # (docs/ROOFLINE.md). Both paths are equal to reassociation rounding.
-        fuse_up = self.upsample and not os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
+        fuse_up = self.upsample and resample_fusion_enabled()
         if self.upsample and not fuse_up:
             x = upsample2x_bilinear(x)
 

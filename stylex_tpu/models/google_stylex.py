@@ -42,6 +42,7 @@ import numpy as np
 
 from stylex_tpu.ops.blur import upsample2x_bilinear
 from stylex_tpu.ops.modconv import modulated_conv2d, modulated_upsample_conv2d
+from stylex_tpu.ops.fusion import resample_fusion_enabled
 
 __all__ = ["GoogleStylExGenerator", "google_channels", "sindex_to_layer_and_index"]
 
@@ -218,7 +219,7 @@ class GoogleStylExGenerator:
                     if (
                         p["weight"].shape[:2] == (3, 3)
                         and x.shape[1] >= 2
-                        and not os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
+                        and resample_fusion_enabled()
                     ):
                         # upsample folded into the conv — one polyphase
                         # coarse-grid pass (ops/modconv.py), same math

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
+from stylex_tpu.ops.fusion import resample_fusion_enabled
 
 __all__ = [
     "kaiming_normal_leaky",
@@ -131,7 +132,7 @@ class ConvTorch(nn.Module):
                 and x.shape[1] % 2 == 0
                 and x.shape[2] % 2 == 0
                 and self.features <= 128
-                and not os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV")
+                and resample_fusion_enabled()
             )
             if fused_ok:
                 y = blur_conv3x3_down2(x, kernel)

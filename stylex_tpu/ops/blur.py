@@ -16,6 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 from jax import lax
+from stylex_tpu.ops.fusion import resample_fusion_enabled
 
 __all__ = [
     "blur3",
@@ -228,7 +229,7 @@ def upsample2x_blur(x: jax.Array) -> jax.Array:
     reference-shaped compute graph everywhere).
     """
     b, h, w, c = x.shape
-    if h < 2 or w < 2 or os.environ.get("STYLEX_TPU_NO_FUSED_UPCONV"):
+    if h < 2 or w < 2 or not resample_fusion_enabled():
         return upsample2x_blur_unfused(x)
     return _upsample2x_blur_axis(_upsample2x_blur_axis(x, 1), 2)
 
