@@ -111,6 +111,7 @@ def test_classifier_trainer_learns_separable_data(tmp_path):
     assert hist["best_val_accuracy"] > 0.9
 
 
+@pytest.mark.slow
 def test_mobilenet_freeze_mask_shapes():
     from stylex_tpu.models.classifiers import MobileNetV2
     from stylex_tpu.train.classifier_training import mobilenet_freeze_mask

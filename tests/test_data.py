@@ -152,6 +152,7 @@ def test_loader_uint8_transfer_roundtrip(image_folder):
     assert as_float01(bf) is bf
 
 
+@pytest.mark.slow
 def test_train_step_accepts_uint8_batch():
     """A quantized uint8 batch must train identically to its dequantized
     float batch (on-device normalisation in train_step)."""
@@ -183,6 +184,7 @@ def test_train_step_accepts_uint8_batch():
         np.testing.assert_allclose(float(m_u8[k]), float(m_f32[k]), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_accepts_uint8_batch_bf16():
     """The uint8 path must also work under the bf16 step (regression: the
     dequantised images must stay f32 so the GP lax.cond branches agree)."""

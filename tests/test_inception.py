@@ -53,6 +53,7 @@ def _flax_to_torch_sd(variables):
     return sd
 
 
+@pytest.mark.slow
 def test_converter_roundtrip(variables):
     sd = _flax_to_torch_sd(variables)
     sd["fc.weight"] = np.zeros((1000, 2048))  # must be ignored

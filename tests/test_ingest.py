@@ -131,6 +131,7 @@ def test_classifier_ingest_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_inception_ingest_roundtrip(tmp_path, monkeypatch):
     from stylex_tpu.ingest import _save_msgpack
     from stylex_tpu.models.inception import (

@@ -57,6 +57,7 @@ def test_generator_shapes_and_coords():
     assert coords.shape == (2, G.total_style_coords)
 
 
+@pytest.mark.slow
 def test_fused_resample_paths_match_unfused(monkeypatch):
     """One switch (STYLEX_TPU_NO_FUSED_UPCONV) restores the literal
     reference-shaped compute graph; the shipping fused resamplers (generator
@@ -84,6 +85,7 @@ def test_fused_resample_paths_match_unfused(monkeypatch):
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_u), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_downconv_gate_mixed_channels(monkeypatch):
     """capacity 16 @ 32px gives D filters [64, 128, 256, 512]: the 64/128
     blocks take the fused 5x5 downconv, the 256/512 blocks the unfused

@@ -40,6 +40,7 @@ def test_attfind_sharded_matches_single_device():
     )
 
 
+@pytest.mark.slow
 @requires_8
 def test_train_step_data_parallel_runs():
     cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34, encoder_dim=32,
@@ -130,6 +131,7 @@ def test_train_step_sharded_matches_single_device():
         )
 
 
+@pytest.mark.slow
 @requires_8
 def test_train_step_accepts_single_device_committed_state():
     """The Trainer passes ``init_on_host`` output (committed to device 0)
