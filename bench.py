@@ -256,6 +256,26 @@ def bench_train_step(image_size: int, batch: int, accum: int, dtype_name: str,
     return batch * accum / t.seconds, t.seconds, mfu
 
 
+# Warm-cache wall-cost estimates per extras row (seconds), from the r4
+# complete run (1282 s for the 10 rows, BENCH_EXTRAS at 0e2714d). gated()
+# refuses to START a row whose estimate exceeds the remaining budget, so a
+# slow-relay day skips early instead of overrunning — a started row can
+# still overrun (no preemption), which is why skipped rows carry forward
+# their last measured values (merge_extras) instead of clobbering them.
+_ROW_RESERVE_S = {
+    "attfind64_mfu": 90.0,
+    "attfind64_fused": 90.0,
+    "train64": 120.0,
+    "train64_bf16": 120.0,
+    "train64_scan": 120.0,
+    "train64_b32": 100.0,
+    "train256": 240.0,
+    "attfind256": 180.0,
+    "attfind64_resume": 150.0,
+    "attfind64_resnet": 120.0,
+}
+
+
 def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
     """Budgeted extras. Rows run in priority order; each is gated on the
     wall-clock budget before starting and the JSON is flushed after every
@@ -265,8 +285,10 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
     budget = _budget_s()
     skipped = []
 
-    def gated(name, fn, reserve_s: float = 0.0):
-        """reserve_s: expected cost — skip if starting now would overrun."""
+    def gated(name, fn, reserve_s: float | None = None):
+        """reserve_s: expected warm cost — skip if starting now would overrun."""
+        if reserve_s is None:
+            reserve_s = _ROW_RESERVE_S.get(name, 0.0)
         remaining = budget - _elapsed()
         if remaining < reserve_s:
             skipped.append(
@@ -394,6 +416,73 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
     flush()
 
 
+# Bookkeeping keys in BENCH_EXTRAS.json that describe a RUN, not a measured
+# row — never carried forward from a prior file.
+_EXTRAS_META_KEYS = {
+    "dtype", "elapsed_s", "skipped", "row_dates", "carried_forward",
+    "carried_forward_dtype",
+}
+
+
+def merge_extras(prior: dict, extras: dict, run_date: str) -> dict:
+    """Merge this run's measured rows OVER the prior BENCH_EXTRAS.json.
+
+    VERDICT r4 Weak #1: a budget-starved rerun used to regenerate the file
+    from scratch, replacing previously-measured rows with ``skipped``
+    entries — destroying the only complete benchmark record outside git
+    history. Now every previously-measured top-level row survives a starved
+    rerun (listed in ``carried_forward`` with its measurement date, and in
+    ``row_dates`` alongside this run's rows); only rows this run actually
+    re-measured are overwritten. Dated ``addenda*`` blocks keep their
+    supersession bookkeeping. Pure function — unit-tested in
+    tests/test_bench_writer.py — and idempotent, so the per-row flush can
+    call it repeatedly.
+    """
+    prior = prior if isinstance(prior, dict) else {}
+    prior_dates = prior.get("row_dates")
+    prior_dates = prior_dates if isinstance(prior_dates, dict) else {}
+    merged = {k: v for k, v in extras.items() if not k.startswith("addenda")}
+    row_dates = {
+        k: run_date
+        for k in merged
+        if k not in _EXTRAS_META_KEYS
+    }
+    carried = {}
+    for k, v in prior.items():
+        if k in _EXTRAS_META_KEYS or k.startswith("addenda") or k in merged:
+            continue
+        merged[k] = v
+        row_dates[k] = prior_dates.get(k, "unknown")
+        carried[k] = row_dates[k]
+    if carried:
+        merged["carried_forward"] = carried
+        if prior.get("dtype") and prior.get("dtype") != extras.get("dtype"):
+            # mixed-dtype file: carried rows were measured under the prior
+            # run's dtype, not this one's
+            merged["carried_forward_dtype"] = prior["dtype"]
+    merged["row_dates"] = row_dates
+    # Dated addenda blocks (one-off on-chip measurements recorded outside
+    # the budgeted child): a sub-key present in the merged rows (freshly
+    # measured OR carried) supersedes its stale addenda copy.
+    for blk_name, blk in prior.items():
+        if not blk_name.startswith("addenda"):
+            continue
+        if isinstance(blk, dict):
+            superseded = sorted(k for k in blk if k != "note" and k in merged)
+            live = {k: v for k, v in blk.items() if k == "note" or k not in merged}
+            if superseded:
+                live["superseded_by_this_run"] = superseded
+            if set(live) <= {"note", "superseded_by_this_run"} and superseded:
+                note = blk.get("note", "")
+                if not note.endswith("[fully superseded]"):
+                    note = note + " [fully superseded]"
+                live["note"] = note
+            merged[blk_name] = live
+        else:
+            merged.setdefault(blk_name, blk)
+    return merged
+
+
 def extras_main() -> None:
     """Run the extra metrics synchronously (the detached child's entry, or
     invoke directly: ``python bench.py --extras-only``)."""
@@ -410,35 +499,25 @@ def extras_main() -> None:
     out_path = os.path.join(repo, "BENCH_EXTRAS.json")
     mode = "a" if os.environ.get("_STYLEX_EXTRAS_CHILD") else "w"
     with open(os.path.join(repo, "bench_extras.log"), mode) as log:
-        # Carry dated addenda blocks (one-off on-chip measurements recorded
-        # outside the budgeted child) across rewrites — but a sub-key freshly
-        # measured in THIS run supersedes its stale addenda copy, and load
-        # failures are logged, not silently dropped.
-        addenda = {}
+        # Load the ENTIRE prior file once: measured rows carry forward
+        # through merge_extras (never clobbered by a starved rerun), and
+        # load failures are logged, not silently dropped.
+        prior = {}
         try:
             with open(out_path) as f:
                 prior = json.load(f)
-            addenda = {k: v for k, v in prior.items() if k.startswith("addenda")}
         except FileNotFoundError:
             pass
         except Exception:
-            print("prior BENCH_EXTRAS.json unreadable; addenda dropped:", file=log)
+            print("prior BENCH_EXTRAS.json unreadable; prior rows dropped:", file=log)
             traceback.print_exc(file=log)
 
+        import datetime
+
+        run_date = datetime.date.today().isoformat()
+
         def flush():
-            merged = dict(extras)
-            for blk_name, blk in addenda.items():
-                if isinstance(blk, dict):
-                    superseded = sorted(k for k in blk if k != "note" and k in merged)
-                    live = {k: v for k, v in blk.items()
-                            if k == "note" or k not in merged}
-                    if superseded:
-                        live["superseded_by_this_run"] = superseded
-                    if set(live) <= {"note", "superseded_by_this_run"} and superseded:
-                        live["note"] = blk.get("note", "") + " [fully superseded]"
-                    merged[blk_name] = live
-                else:
-                    merged.setdefault(blk_name, blk)
+            merged = merge_extras(prior, extras, run_date)
             tmp = out_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(merged, f, indent=1)
