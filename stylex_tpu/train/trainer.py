@@ -149,6 +149,7 @@ class Trainer:
         self.last_fid: Optional[float] = None
         self.clear_fid_cache = clear_fid_cache
         self._pending: deque = deque()  # (step, device metrics) in flight
+        self._inference_only = False  # set by load(inference=True)
         self._ckpt_writer = AsyncCheckpointWriter()
         self._last_metrics: Dict[str, float] = {}
         self._host_step: Optional[int] = None
@@ -325,6 +326,14 @@ class Trainer:
         assert self.loader is not None, (
             "You must first initialize the data source with `.set_data_src(<folder of images>)`"
         )
+        if self._inference_only:
+            # optimizer slots are host numpy after load(inference=True):
+            # stepping would silently disable buffer donation and recompile
+            # the whole train step (observed: 37 min through the relay)
+            raise RuntimeError(
+                "Trainer.load(inference=True) shipped only params/EMA to the "
+                "device; call load(num, inference=False) before train()."
+            )
         self.init_stylex()
         tc = self.train_cfg
         step = self.steps  # first step of the block about to execute
@@ -500,6 +509,10 @@ class Trainer:
             self.state = load_checkpoint_inference(path, self.state)
         else:
             self.state = load_checkpoint(path, self.state)
+        # ADVICE r4: an inference-only load leaves optimizer slots as host
+        # numpy — training after it would silently disable donation and
+        # force a full recompile of the step; train() refuses instead.
+        self._inference_only = inference
         # the reference reconstructs steps as num * save_every (`:1767-1770`)
         if int(self.state.step) == 0:
             self.state = self.state.replace(

@@ -49,6 +49,20 @@ def test_full_pipeline(tmp_path):
     trainer2.load(-1)
     assert trainer2.steps >= 2
 
+    # inference-only loads refuse to train (ADVICE r4: optimizer slots stay
+    # host numpy, which would silently disable donation + force a recompile)
+    trainer_inf = Trainer(
+        name="e2e", base_dir=str(tmp_path), model_cfg=cfg, train_cfg=tc,
+        classifier_name="mobilenet",
+    )
+    trainer_inf.load(-1, inference=True)
+    trainer_inf.set_data_src(dataset_name="synthetic")
+    with pytest.raises(RuntimeError, match="inference"):
+        trainer_inf.train()
+    trainer_inf.loader.close()
+    trainer_inf.load(-1)  # a full reload clears the guard
+    assert not trainer_inf._inference_only
+
     # evaluate grids from the reloaded model
     trainer2.evaluate(num=0)
     out = tmp_path / "results" / "e2e"

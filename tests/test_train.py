@@ -102,19 +102,7 @@ def test_two_steps_update_params_and_stay_finite(tiny_train):
     assert not np.allclose(se, s_init)  # live moved, EMA stayed
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize(
-    "arch,tc_kwargs",
-    [
-        (Arch.OLD, {}),
-        (Arch.NEW, {"kl_rec_during_disc": True}),
-        (Arch.OLD, {"rel_disc_loss": True, "top_k_training": True}),
-        (Arch.OLD, {"dual_contrast_loss": True}),
-        (Arch.OLD, {"cl_reg": True}),
-        (Arch.OLD, {"alternating_training": False}),
-    ],
-)
-def test_fused_microbatches_match_scan(arch, tc_kwargs):
+def _fused_vs_scan_case(arch, cfg_kwargs, tc_kwargs, accum):
     """The fused (wide) step must equal the literal accumulation scan on
     identical state/batch/key: the RNG chain is replayed exactly and sums of
     per-micro-batch means become means over equal groups, so the only
@@ -131,19 +119,20 @@ def test_fused_microbatches_match_scan(arch, tc_kwargs):
     import optax
 
     cfg = ModelConfig(image_size=16, network_capacity=4, latent_dim=34,
-                      encoder_dim=32, arch=arch)
+                      encoder_dim=32, arch=arch, **cfg_kwargs)
     modules = build_stylex(cfg)
     clf = build_classifier("mobilenet", cfg.image_size)
     lp = init_lpips_params(jax.random.PRNGKey(1))
     batch = {
-        k: jax.random.uniform(jax.random.PRNGKey(i), (4, 2, 16, 16, 3))
+        k: jax.random.uniform(jax.random.PRNGKey(i), (accum, 2, 16, 16, 3))
         for i, k in enumerate(("d_real", "d_enc", "g_imgs"))
     }
     results = {}
     for fused in (False, True):
         # pl_start_step=-1/pl_every=1 force the PL branch live; GP fires at
         # step 0 anyway — so every penalty path is compared, not just hinge.
-        tc = TrainConfig(batch_size=2, gradient_accumulate_every=4, aug_prob=0.25,
+        tc = TrainConfig(batch_size=2, gradient_accumulate_every=accum,
+                         aug_prob=0.25,
                          fused_microbatches=fused, pl_start_step=-1, pl_every=1,
                          **tc_kwargs)
         state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, tc)
@@ -158,7 +147,8 @@ def test_fused_microbatches_match_scan(arch, tc_kwargs):
         ))
         b = dict(batch)
         if tc.dual_contrast_loss:
-            b["g_real"] = jax.random.uniform(jax.random.PRNGKey(9), (4, 2, 16, 16, 3))
+            b["g_real"] = jax.random.uniform(jax.random.PRNGKey(9),
+                                             (accum, 2, 16, 16, 3))
         if tc.top_k_training:
             b["top_k"] = jnp.asarray(1, jnp.int32)
         results[fused] = step(state, b, jax.random.PRNGKey(2))
@@ -179,6 +169,33 @@ def test_fused_microbatches_match_scan(arch, tc_kwargs):
         )
 
 
+def test_fused_microbatches_match_scan_fast():
+    """ADVICE r4 (medium): fused_microbatches=True is the shipping default
+    training path, so at least one fused-vs-scan equivalence case must run
+    in the FAST profile — tiny config, accum=2."""
+    _fused_vs_scan_case(Arch.OLD, {}, {}, accum=2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "arch,cfg_kwargs,tc_kwargs",
+    [
+        (Arch.OLD, {}, {}),
+        (Arch.NEW, {}, {"kl_rec_during_disc": True}),
+        (Arch.OLD, {}, {"rel_disc_loss": True, "top_k_training": True}),
+        (Arch.OLD, {}, {"dual_contrast_loss": True}),
+        (Arch.OLD, {}, {"cl_reg": True}),
+        (Arch.OLD, {}, {"alternating_training": False}),
+        # ADVICE r4: VQ layers in D — the wide step's q_loss group-mean
+        # scaling (2*sum of VQ means over 2*accum*B) vs the scan's
+        # per-micro-batch sum/accum, and the VQ/GP interaction
+        (Arch.OLD, {"fq_layers": (1,), "fq_dict_size": 32}, {}),
+    ],
+)
+def test_fused_microbatches_match_scan(arch, cfg_kwargs, tc_kwargs):
+    _fused_vs_scan_case(arch, cfg_kwargs, tc_kwargs, accum=4)
+
+
 @pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_train, tmp_path):
     cfg, tc, modules, state, step, batch = tiny_train
@@ -191,6 +208,44 @@ def test_checkpoint_roundtrip(tiny_train, tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     assert int(restored.step) == int(state.step)
+
+
+def test_pl_boundary_activation_and_cadence(tiny_train):
+    """Pin the path-length penalty's activation step and every-32 cadence
+    (VERDICT r4 Next #4; reference `stylex_train.py:1273,1422-1429`):
+    ``apply_pl = (step > 5000) & (step % 32 == 0)`` — strictly greater, so
+    step 5000 itself never fires; the first firing step is 5024, then every
+    32. The -1 sentinel pl_mean seeds directly from the first measured mean
+    path length, then follows EMA(0.99). ``step`` is a traced scalar, so
+    every probe reuses the one compiled program."""
+    cfg, tc, modules, state, step, batch = tiny_train
+    assert tc.pl_start_step == 5000 and tc.pl_every == 32  # reference cadence
+
+    def probe(s, st):
+        st = st.replace(step=jnp.asarray(s, jnp.int32))
+        return step(st, batch, jax.random.PRNGKey(0))
+
+    assert float(state.pl_mean) == -1.0  # never-activated sentinel
+    # 5000 is NOT > 5000; 5023 misses the %32 grid: sentinel survives both
+    for s in (5000, 5023):
+        st, m = probe(s, state)
+        assert float(st.pl_mean) == -1.0, s
+        assert float(m["pl_mean"]) == -1.0, s
+    # 5024 = first step past the boundary on the 32-grid: pl_mean seeds
+    # from the measured mean path length (>= 0, finite)
+    st, m = probe(5024, state)
+    seeded = float(st.pl_mean)
+    assert seeded >= 0.0 and np.isfinite(seeded)
+    # off-grid steps keep it frozen...
+    st2, _ = probe(5025, st)
+    assert float(st2.pl_mean) == seeded
+    # ...and the next on-grid step applies the EMA(0.99) update
+    st3, _ = probe(5056, st2)
+    moved = float(st3.pl_mean)
+    assert moved != seeded and np.isfinite(moved)
+    # EMA form: new = 0.99*old + 0.01*len  =>  len = (new - 0.99*old)/0.01
+    implied_len = (moved - 0.99 * seeded) / 0.01
+    assert implied_len >= 0.0
 
 
 def test_checkpoint_restore_returns_device_arrays(tiny_train, tmp_path):
