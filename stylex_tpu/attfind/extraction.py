@@ -22,11 +22,13 @@ reference notebook or ours) can read either.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+import os
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from stylex_tpu.config import Arch
 from stylex_tpu.models.stylex import StylExModules, make_w
@@ -49,6 +51,10 @@ class AttFindRecords:
     original_images: np.ndarray  # (N, S, S, 3)
     noise: np.ndarray  # (1, S, S, 1)
     discriminator: np.ndarray  # (N, 1)
+    # per-stage wall clock of the extraction that produced this record
+    # (seconds since extraction start; not written to the hdf5 — the
+    # reference schema has no such dataset)
+    stage_walls: Optional[Dict[str, float]] = None
 
 
 def _phase1(modules, params, classifier_fn, cfg, images, noise):
@@ -150,33 +156,35 @@ def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
 
 def _capture_states(modules, params, cfg, w_all, noise, phase1_batch):
     """Per-image generator block-entry states for the resume sweep (one full
-    forward per image, amortised over its ~2C perturbations)."""
-    @jax.jit
-    def cap(w):
-        w_styles = expand_styles(w, modules.num_layers)
-        _, _, states = modules.generate(params, w_styles, noise, capture_states=True)
-        return states
+    forward per image, amortised over its ~2C perturbations).
 
+    ONE jitted dispatch: a ``lax.scan`` over fixed-size image batches whose
+    stacked outputs reshape on device. The r4 version dispatched one program
+    per 64-image chunk and then stitched with EAGER ``jnp.concatenate`` /
+    ``[:N]`` slices — ~20 tiny one-off XLA programs, each a remote
+    round-trip, totalling 24 s of the 250-image record's 112 s wall
+    (VERDICT r4 Next #3). Rows past the true image count are padding; sweeps
+    only ever gather real ``img_idx``, so no trailing slice is needed."""
     N = w_all.shape[0]
-    chunks = []
-    for s in range(0, N, phase1_batch):
-        wc = w_all[s : s + phase1_batch]
-        tail = phase1_batch - wc.shape[0]
-        if tail:
-            # fixed batch: a ragged tail would compile a second program
-            wc = jnp.concatenate([wc, jnp.zeros((tail,) + wc.shape[1:], wc.dtype)])
-        chunks.append(cap(wc))
-    num_blocks = len(chunks[0])
-    out = []
-    for k in range(num_blocks):
-        x = jnp.concatenate([c[k][0] for c in chunks])[:N]
-        rgb = (
-            None
-            if chunks[0][k][1] is None
-            else jnp.concatenate([c[k][1] for c in chunks])[:N]
-        )
-        out.append((x, rgb))
-    return out
+    B = min(phase1_batch, N)
+    M = -(-N // B)
+    pad = M * B - N
+
+    @jax.jit
+    def cap_all(w):
+        if pad:
+            w = jnp.concatenate([w, jnp.zeros((pad,) + w.shape[1:], w.dtype)])
+        w = w.reshape(M, B, w.shape[-1])
+
+        def body(_, wc):
+            w_styles = expand_styles(wc, modules.num_layers)
+            _, _, states = modules.generate(params, w_styles, noise, capture_states=True)
+            return None, states
+
+        _, states = lax.scan(body, None, w)
+        return jax.tree.map(lambda s: s.reshape((M * B,) + s.shape[2:]), states)
+
+    return list(cap_all(w_all))
 
 
 def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
@@ -242,6 +250,7 @@ def attfind_extraction(
     block_resume: bool = True,
     num_images: Optional[int] = None,
     chunks_per_dispatch: int = 8,
+    compute_dtype=None,
 ) -> AttFindRecords:
     """Run the full AttFind extraction over a set of images.
 
@@ -267,9 +276,17 @@ def attfind_extraction(
         dispatch via ``lax.scan`` (:func:`_scan_chunks`) — amortises the
         per-dispatch relay round-trip exactly like the trainer's
         ``steps_per_dispatch``. 1 = one dispatch per chunk.
+      compute_dtype: run the whole extraction in this dtype (e.g.
+        ``jnp.bfloat16`` with bf16-shipped params — the TPU-native fast
+        path; the reference sweeps in f32). ``None`` keeps float32. Records
+        are always written back as float32.
 
     Returns:
-      :class:`AttFindRecords`.
+      :class:`AttFindRecords` (``.stage_walls`` carries the per-stage wall
+      breakdown; set ``STYLEX_ATTFIND_SYNC_MARKS=1`` to make each stage
+      block on its device work for exact attribution — the default leaves
+      stages overlapped for speed, so compute piles into the first sweep
+      block's wall).
     """
     from stylex_tpu.ops.fusion import prefer_literal_resample
 
@@ -281,7 +298,7 @@ def attfind_extraction(
             modules, params, classifier_fn, images, noise, shift_size,
             discriminator_threshold, use_discriminator, coord_batch,
             phase1_batch, mesh, progress, block_resume, num_images,
-            chunks_per_dispatch,
+            chunks_per_dispatch, compute_dtype,
         )
 
 
@@ -289,75 +306,110 @@ def _attfind_extraction_body(
     modules, params, classifier_fn, images, noise, shift_size,
     discriminator_threshold, use_discriminator, coord_batch, phase1_batch,
     mesh, progress, block_resume, num_images, chunks_per_dispatch,
+    compute_dtype=None,
 ) -> AttFindRecords:
     import time as _time
 
     cfg = modules.cfg
     C = modules.total_style_coords
+    dtype = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
     images = np.asarray(images, np.float32)
-    noise_j = jnp.asarray(noise)
+    P, S = images.shape[0], images.shape[1]
+    noise_j = jnp.asarray(noise, dtype)
     _t0 = _time.perf_counter()
-    _mark = lambda tag: progress and print(
-        f"attfind[{tag}] +{_time.perf_counter() - _t0:.1f}s", flush=True
-    )
+    stage_walls: Dict[str, float] = {}
+    # Default: stages only record their DISPATCH time and device work
+    # overlaps freely (params still streaming while sweeps trace/compile);
+    # SYNC_MARKS blocks each stage on its outputs for exact attribution.
+    _sync = bool(os.environ.get("STYLEX_ATTFIND_SYNC_MARKS"))
 
-    # ---- phase 1 (batched over images) ------------------------------------
-    phase1 = jax.jit(lambda imgs: _phase1(modules, params, classifier_fn, cfg, imgs, noise_j))
-    ws, coords, d_outs, base_logits = [], [], [], []
-    first = True
-    for start in range(0, images.shape[0], phase1_batch):
-        chunk_np = images[start : start + phase1_batch]
-        tail = phase1_batch - chunk_np.shape[0]
-        if tail:
-            # pad the final chunk to the fixed batch: a ragged tail would
-            # compile a second phase-1 program (~minutes on a relayed TPU)
-            chunk_np = np.concatenate([chunk_np, np.zeros((tail,) + chunk_np.shape[1:], chunk_np.dtype)])
-        w, sc, d, bl = phase1(jnp.asarray(chunk_np))
-        if first:
-            jax.block_until_ready(w)
-            _mark("phase1_first_chunk")  # compile + params transfer land here
-            first = False
-        n_keep = phase1_batch - tail
-        ws.append(np.asarray(w)[:n_keep])
-        coords.append(np.asarray(sc)[:n_keep])
-        d_outs.append(np.asarray(d).reshape(-1)[:n_keep])
-        base_logits.append(np.asarray(bl)[:n_keep])
-    w_all = np.concatenate(ws)
-    coords_all = np.concatenate(coords)
-    d_all = np.concatenate(d_outs)
-    logits_all = np.concatenate(base_logits)
-    _mark("phase1")
+    def _mark(tag, block_on=None):
+        if _sync and block_on is not None:
+            jax.block_until_ready(block_on)
+        t = _time.perf_counter() - _t0
+        stage_walls[tag] = round(t, 2)
+        if progress:
+            print(f"attfind[{tag}] +{t:.1f}s", flush=True)
 
-    if use_discriminator and discriminator_threshold is not None:
-        keep = d_all < discriminator_threshold
-        if not np.any(keep):
-            raise ValueError("No images pass the threshold check")
-        images, w_all, coords_all, d_all, logits_all = (
-            images[keep], w_all[keep], coords_all[keep], d_all[keep], logits_all[keep]
+    use_filter = use_discriminator and discriminator_threshold is not None
+
+    # ---- phase 1: ONE jitted scan over fixed-size image batches -----------
+    # (r4 dispatched one program per chunk + eager per-chunk host fetches;
+    # with no D filter nothing needs the host at all, so min/max fold into
+    # the same program and phase 1 is a single async dispatch)
+    B = min(phase1_batch, P)
+    M = -(-P // B)
+    pad_imgs = M * B - P
+    imgs_host = images
+    if pad_imgs:
+        imgs_host = np.concatenate(
+            [images, np.zeros((pad_imgs, S, S, 3), np.float32)]
         )
-    if num_images is not None:
-        if images.shape[0] < num_images:
-            print(
-                f"attfind: only {images.shape[0]} of the requested "
-                f"{num_images} images survive the discriminator filter — "
-                f"pass a larger candidate pool"
+    N_nofilter = min(num_images, P) if num_images is not None else P
+
+    @jax.jit
+    def phase1_all(imgs):
+        imgs = imgs.astype(dtype)
+
+        def body(_, chunk):
+            return None, _phase1(modules, params, classifier_fn, cfg, chunk, noise_j)
+
+        _, outs = lax.scan(body, None, imgs.reshape(M, B, S, S, 3))
+        flat = lambda x: x.reshape((M * B,) + x.shape[2:])
+        w, sc, d, bl = (flat(x) for x in outs)
+        d = d.reshape(M * B)
+        # elementwise min/max over the REAL image set
+        # (`get_min_max_style_vectors`, cell 5) — padding rows excluded
+        mins = sc[:N_nofilter].min(axis=0)
+        maxs = sc[:N_nofilter].max(axis=0)
+        return w, sc, d, bl, mins, maxs
+
+    w_dev, coords_dev, d_dev, base_dev, min_dev, max_dev = phase1_all(imgs_host)
+    _mark("phase1", w_dev)
+
+    if use_filter or (num_images is not None and P < num_images):
+        # data-dependent filtering needs the host; fetch, filter, re-upload
+        w_all = np.asarray(w_dev)[:P]
+        coords_all = np.asarray(coords_dev)[:P]
+        d_all = np.asarray(d_dev)[:P]
+        logits_all = np.asarray(base_dev)[:P]
+        if use_filter:
+            keep = d_all < discriminator_threshold
+            if not np.any(keep):
+                raise ValueError("No images pass the threshold check")
+            images, w_all, coords_all, d_all, logits_all = (
+                images[keep], w_all[keep], coords_all[keep], d_all[keep],
+                logits_all[keep],
             )
-        images, w_all, coords_all, d_all, logits_all = (
-            images[:num_images], w_all[:num_images], coords_all[:num_images],
-            d_all[:num_images], logits_all[:num_images],
-        )
-    N = images.shape[0]
-
-    # elementwise min/max over the image set (`get_min_max_style_vectors`)
-    minima = coords_all.min(axis=0)
-    maxima = coords_all.max(axis=0)
-
-    # ---- phase 2: perturbation sweep --------------------------------------
-    # device-resident per-image state, shipped once
-    w_dev = jnp.asarray(w_all)
-    coords_dev = jnp.asarray(coords_all)
-    min_dev, max_dev = jnp.asarray(minima), jnp.asarray(maxima)
-    base_dev = jnp.asarray(logits_all)
+        if num_images is not None:
+            if images.shape[0] < num_images:
+                print(
+                    f"attfind: only {images.shape[0]} of the requested "
+                    f"{num_images} images survive the discriminator filter — "
+                    f"pass a larger candidate pool"
+                )
+            images, w_all, coords_all, d_all, logits_all = (
+                images[:num_images], w_all[:num_images], coords_all[:num_images],
+                d_all[:num_images], logits_all[:num_images],
+            )
+        N = images.shape[0]
+        # min/max recomputed over the SURVIVORS (matches the notebook, which
+        # filters before get_min_max_style_vectors)
+        minima = coords_all.min(axis=0).astype(np.float32)
+        maxima = coords_all.max(axis=0).astype(np.float32)
+        w_dev = jnp.asarray(w_all)
+        coords_dev = jnp.asarray(coords_all)
+        min_dev, max_dev = jnp.asarray(minima), jnp.asarray(maxima)
+        base_dev = jnp.asarray(logits_all)
+        host_fetched = True
+        _mark("discriminator_filter")
+    else:
+        # fast path: everything stays on device, padded rows are inert
+        # (sweeps only gather img_idx < N); host copies for the records are
+        # fetched once at the end
+        N = N_nofilter
+        images = images[:N]
+        host_fetched = False
 
     K = max(1, int(chunks_per_dispatch))
 
@@ -400,10 +452,12 @@ def _attfind_extraction_body(
 
     if block_resume:
         # group by generator block; resume from cached per-image states so
-        # blocks upstream of the perturbed coordinate are never recomputed
+        # blocks upstream of the perturbed coordinate are never recomputed.
+        # ONE dispatch; the host does NOT wait — id-building and the block-0
+        # sweep dispatch proceed while the capture executes (device-order
+        # dependencies keep it correct)
         states = _capture_states(modules, params, cfg, w_dev, noise_j, phase1_batch)
-        jax.block_until_ready(states[0][0])
-        _mark("capture_states")
+        _mark("capture_states", states[0][0])
         block_dims = modules.G.block_dims
         per_block = []
         offset = 0
@@ -459,16 +513,26 @@ def _attfind_extraction_body(
         eff = _chunked(N * 2 * C, ids_builder, run_chunk, "AttFind sweep (chunks)")
         style_change = eff.reshape(N, 2, C, -1).astype(np.float32)
 
+    if not host_fetched:
+        # single end-of-run fetch of the (already-computed) phase-1 outputs
+        w_all = np.asarray(w_dev)[:N]
+        coords_all = np.asarray(coords_dev)[:N]
+        d_all = np.asarray(d_dev)[:N]
+        logits_all = np.asarray(base_dev)[:N]
+        minima, maxima = np.asarray(min_dev), np.asarray(max_dev)
+    _mark("records_fetch")
+
     return AttFindRecords(
         style_change=style_change,
-        latents=w_all,
-        base_prob=logits_all,
-        minima=minima,
-        maxima=maxima,
-        style_coordinates=coords_all,
+        latents=np.asarray(w_all, np.float32),
+        base_prob=np.asarray(logits_all, np.float32),
+        minima=np.asarray(minima, np.float32),
+        maxima=np.asarray(maxima, np.float32),
+        style_coordinates=np.asarray(coords_all, np.float32),
         original_images=images,
         noise=np.asarray(noise, np.float32),
-        discriminator=d_all[:, None],
+        discriminator=np.asarray(d_all, np.float32)[:, None],
+        stage_walls=stage_walls,
     )
 
 

@@ -43,6 +43,12 @@ def main(argv=None) -> None:
     p.add_argument("--no-block-resume", action="store_true",
                    help="use the flat full-recompute sweep instead of the "
                         "block-resume sweep (debug/A-B escape hatch)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="sweep compute dtype. float32 matches the reference "
+                        "notebook; bfloat16 is the TPU-native fast path — "
+                        "params ship at half the relay bytes and the sweep "
+                        "runs on the doubled-throughput MXU path (records "
+                        "are written back as float32 either way)")
     p.add_argument("--results-folder", default="./attfind_results")
     p.add_argument("--visualize-top", type=int, default=0,
                    help="render counterfactual panels for the top-N styles")
@@ -84,11 +90,26 @@ def main(argv=None) -> None:
         classifier_path=args.classifier_path,
     )
     _mark("trainer_init")
-    trainer.load(args.load_from, inference=True)
+    # AttFind sweeps the LIVE generator only (`run_attfind_combined.ipynb`
+    # cell 6) — EMA weights stay host-side, and bf16 sweeps ship params at
+    # half the relay bytes (transfers start async here and overlap with the
+    # sweep compiles below)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    trainer.load(args.load_from, inference=True, ship_ema=False,
+                 param_dtype=compute_dtype)
     _mark("checkpoint_load")
     modules, params = trainer.modules, trainer.full_params
     cfg = trainer.model_cfg
     clf_fn = trainer.classifier.classify_images
+    if compute_dtype is not None:
+        # classifier weights ride the same dtype so the whole perturbed
+        # forward stays on the bf16 path (one jitted cast program)
+        trainer.classifier.variables = jax.jit(
+            lambda t: jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
+            )
+        )(trainer.classifier.variables)
 
     if args.dataset_name == "synthetic":
         ds = SyntheticImageDataset(args.num_images, cfg.image_size)
@@ -118,6 +139,7 @@ def main(argv=None) -> None:
         mesh=trainer.mesh if len(trainer.mesh.devices.flat) > 1 else None,
         block_resume=not args.no_block_resume,
         chunks_per_dispatch=args.chunks_per_dispatch,
+        compute_dtype=compute_dtype,
     )
     dt = time.perf_counter() - t0
     total_styles = records.style_change.shape[0] * 2 * records.style_change.shape[2]
@@ -126,6 +148,25 @@ def main(argv=None) -> None:
 
     out = Path(args.results_folder)
     out.mkdir(parents=True, exist_ok=True)
+    if records.stage_walls:
+        # per-stage wall breakdown (VERDICT r4 Next #3); cumulative marks ->
+        # per-stage deltas
+        marks = list(records.stage_walls.items())
+        prev = 0.0
+        rows = []
+        for tag, t in marks:
+            rows.append((tag, round(t - prev, 2)))
+            prev = t
+        print("stage walls (s):", " | ".join(f"{t}={d}" for t, d in rows))
+        (out / "timing.json").write_text(json.dumps({
+            "dtype": args.dtype,
+            "total_styles": int(total_styles),
+            "extraction_wall_s": round(dt, 2),
+            "styles_per_sec": round(total_styles / dt, 1),
+            "stage_marks_cumulative_s": records.stage_walls,
+            "stage_deltas_s": dict(rows),
+            "sync_marks": bool(__import__("os").environ.get("STYLEX_ATTFIND_SYNC_MARKS")),
+        }, indent=1))
     save_records_hdf5(records, str(out / "style_change_records.hdf5"))
 
     ranked, per_class = rank_styles(

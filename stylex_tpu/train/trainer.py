@@ -487,11 +487,15 @@ class Trainer:
         self._drain(0)
         self._ckpt_writer.wait()
 
-    def load(self, num: int = -1, inference: bool = False) -> None:
+    def load(self, num: int = -1, inference: bool = False,
+             ship_ema: bool = True, param_dtype=None) -> None:
         """Restore a checkpoint. ``inference=True`` ships only params/EMA to
         the device (optimizer slots stay host numpy — ~2/3 of the bytes of a
         checkpoint, ~2 min of relay transfer at the 64px flagship); use it
-        for AttFind/eval/replay consumers that never step the optimizer."""
+        for AttFind/eval/replay consumers that never step the optimizer.
+        ``ship_ema=False`` / ``param_dtype`` (inference only) further trim
+        the transfer: AttFind sweeps the live G only and can run bf16 —
+        see :func:`load_checkpoint_inference`."""
         self._ckpt_writer.wait()  # an in-flight save may be the file we read
         self.load_config()
         self.init_stylex()
@@ -506,7 +510,9 @@ class Trainer:
         if inference:
             from stylex_tpu.utils.checkpoint import load_checkpoint_inference
 
-            self.state = load_checkpoint_inference(path, self.state)
+            self.state = load_checkpoint_inference(
+                path, self.state, ship_ema=ship_ema, param_dtype=param_dtype
+            )
         else:
             self.state = load_checkpoint(path, self.state)
         # ADVICE r4: an inference-only load leaves optimizer slots as host

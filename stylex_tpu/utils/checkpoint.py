@@ -154,31 +154,54 @@ def load_checkpoint(path: str, state_template):
     return jax.tree.map(place, state_template, restored)
 
 
-def load_checkpoint_inference(path: str, state_template):
+def load_checkpoint_inference(path: str, state_template, ship_ema: bool = True,
+                              param_dtype=None):
     """Like :func:`load_checkpoint` but ships ONLY params/ema_params/step/
     pl_mean to the device; optimizer slots stay host numpy. Adam moments are
     ~2/3 of a checkpoint's bytes (measured 770 MB at the 64px flagship) and
     a relayed-TPU transfer runs ~6 MB/s — inference consumers (AttFind,
-    eval, replay) were blocking ~2 min on state they never read."""
+    eval, replay) were blocking ~2 min on state they never read.
+
+    Args:
+      ship_ema: ``False`` keeps ``ema_params`` as host numpy too — AttFind
+        never reads EMA weights (the notebook sweeps the live ``G``,
+        `run_attfind_combined.ipynb` cell 6), and EMA is half the remaining
+        hot bytes. An unused host-numpy leaf is never traced, so it is never
+        transferred either.
+      param_dtype: cast float32 param leaves to this dtype (e.g.
+        ``jnp.bfloat16``) ON THE HOST before transfer — halves the relay
+        bytes for bf16 sweeps. Non-float32 leaves (ints, counters) keep the
+        template dtype.
+    """
     import jax
     import jax.numpy as jnp
 
     payload = serialization.msgpack_restore(Path(path).read_bytes())
     restored = serialization.from_state_dict(state_template, payload["state"])
 
-    def place(t, v):
+    def place(t, v, cast_floats: bool):
         if not hasattr(t, "dtype"):
             return v
-        arr = jnp.asarray(v, getattr(t, "dtype", None))
+        dt = getattr(t, "dtype", None)
+        if cast_floats and param_dtype is not None and dt == jnp.float32:
+            dt = param_dtype
+        # jnp.asarray converts on the host (numpy/ml_dtypes), so the wire
+        # carries the narrow dtype
+        arr = jnp.asarray(v, dt)
         sharding = getattr(t, "sharding", None)
         return jax.device_put(arr, sharding) if sharding is not None else arr
 
-    hot = {"params", "ema_params", "step", "pl_mean"}
+    hot = {"params", "step", "pl_mean"}
+    if ship_ema:
+        hot.add("ema_params")
     out = {}
     for field in state_template.__dataclass_fields__:
         t_sub = getattr(state_template, field)
         v_sub = getattr(restored, field)
+        cast_floats = field in ("params", "ema_params")
         out[field] = (
-            jax.tree.map(place, t_sub, v_sub) if field in hot else v_sub
+            jax.tree.map(lambda t, v: place(t, v, cast_floats), t_sub, v_sub)
+            if field in hot
+            else v_sub
         )
     return state_template.replace(**out)

@@ -47,6 +47,38 @@ def test_extraction_shapes(tiny_setup, records):
     assert records.style_coordinates.shape == (4, C)
     assert np.all(records.minima <= records.maxima)
     assert np.isfinite(records.style_change).all()
+    # every array the hdf5 schema stores is float32 regardless of the
+    # sweep's compute dtype
+    for f in ("style_change", "latents", "base_prob", "minima", "maxima",
+              "style_coordinates", "discriminator"):
+        assert getattr(records, f).dtype == np.float32, f
+    # the per-stage wall breakdown rides along (not written to the hdf5)
+    assert records.stage_walls and "phase1" in records.stage_walls
+
+
+def test_bf16_sweep_matches_f32_ranking(tiny_setup, records):
+    """compute_dtype=bfloat16 (the TPU-native record path): same shapes,
+    f32 output arrays, and per-(direction,sindex) mean effects close to the
+    f32 sweep — close enough that greedy top-k picks from either agree at
+    the tiny scale."""
+    cfg, modules, params, clf_fn, images, noise = tiny_setup
+    bf16_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params,
+    )
+    rec16 = attfind_extraction(
+        modules, bf16_params, clf_fn, images, noise, coord_batch=64,
+        progress=False, compute_dtype=jnp.bfloat16,
+    )
+    assert rec16.style_change.dtype == np.float32
+    assert rec16.style_change.shape == records.style_change.shape
+    # mean effect per (direction, sindex, class): the ranking statistic
+    m32 = records.style_change.mean(axis=0)
+    m16 = rec16.style_change.mean(axis=0)
+    # bf16 has ~3 significant digits; the effects here are O(1e-3..1)
+    assert np.isfinite(m16).all()
+    np.testing.assert_allclose(m16, m32, atol=0.08)
 
 
 def test_sweep_matches_single_perturbation(tiny_setup, records):
