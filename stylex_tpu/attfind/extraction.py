@@ -57,20 +57,31 @@ class AttFindRecords:
     stage_walls: Optional[Dict[str, float]] = None
 
 
-def _phase1(modules, params, classifier_fn, cfg, images, noise):
-    """Encode -> w -> generate(+coords) -> D score -> base logits, batched."""
+def _phase1(modules, params, classifier_fn, cfg, images, noise, capture=False):
+    """Encode -> w -> generate(+coords) -> D score -> base logits, batched.
+
+    ``capture=True`` additionally returns the generator block-entry states
+    from the SAME forward — the block-resume sweep's inputs come for free
+    instead of re-running the generator in a second program (the r4 layout
+    paid a separate ``cap_all`` dispatch + an 11 s program load)."""
     logits = classifier_fn(images)
     enc = modules.encode(params, images)
     w = make_w(cfg, enc, logits)
     w_styles = expand_styles(w, modules.num_layers)
-    gen, coords = modules.generate(params, w_styles, noise)
+    if capture:
+        gen, coords, states = modules.generate(
+            params, w_styles, noise, capture_states=True
+        )
+    else:
+        gen, coords = modules.generate(params, w_styles, noise)
+        states = None
     if cfg.arch == Arch.NEW:
         probs = jax.nn.softmax(classifier_fn(gen), axis=-1)
         d_out = modules.discriminate(params, gen, probs)
     else:
         d_out = modules.discriminate(params, gen)
     base_logits = classifier_fn(gen)
-    return w, coords, d_out, base_logits
+    return w, coords, d_out, base_logits, states
 
 
 def _scan_chunks(sweep, n_heavy: int, mesh=None, heavy_specs=None):
@@ -346,25 +357,35 @@ def _attfind_extraction_body(
             [images, np.zeros((pad_imgs, S, S, 3), np.float32)]
         )
     N_nofilter = min(num_images, P) if num_images is not None else P
+    # with no data-dependent filter the block-resume states come from the
+    # SAME phase-1 generator forward (zero extra programs/dispatches); the
+    # filter path captures after filtering instead
+    capture_in_phase1 = block_resume and not use_filter
 
     @jax.jit
     def phase1_all(imgs):
         imgs = imgs.astype(dtype)
 
         def body(_, chunk):
-            return None, _phase1(modules, params, classifier_fn, cfg, chunk, noise_j)
+            return None, _phase1(
+                modules, params, classifier_fn, cfg, chunk, noise_j,
+                capture=capture_in_phase1,
+            )
 
         _, outs = lax.scan(body, None, imgs.reshape(M, B, S, S, 3))
+        w, sc, d, bl, states = outs
         flat = lambda x: x.reshape((M * B,) + x.shape[2:])
-        w, sc, d, bl = (flat(x) for x in outs)
+        w, sc, bl = flat(w), flat(sc), flat(bl)
         d = d.reshape(M * B)
+        states = jax.tree.map(flat, states)
         # elementwise min/max over the REAL image set
         # (`get_min_max_style_vectors`, cell 5) — padding rows excluded
         mins = sc[:N_nofilter].min(axis=0)
         maxs = sc[:N_nofilter].max(axis=0)
-        return w, sc, d, bl, mins, maxs
+        return w, sc, d, bl, mins, maxs, states
 
-    w_dev, coords_dev, d_dev, base_dev, min_dev, max_dev = phase1_all(imgs_host)
+    (w_dev, coords_dev, d_dev, base_dev, min_dev, max_dev,
+     phase1_states) = phase1_all(imgs_host)
     _mark("phase1", w_dev)
 
     if use_filter or (num_images is not None and P < num_images):
@@ -446,17 +467,22 @@ def _attfind_extraction_body(
                 jnp.asarray(dir_ids[sl].reshape(shape)),
             ))
         num_classes = effects[0].shape[-1]
-        return np.asarray(
-            jnp.concatenate(effects).reshape(-1, num_classes)[:total]
-        )
+        # ONE device concatenate then a single host fetch; the reshape and
+        # tail slice run on host numpy (an on-device reshape+dynamic_slice
+        # costs two more ~0.5 s program loads per block through the relay)
+        return np.asarray(jnp.concatenate(effects)).reshape(-1, num_classes)[:total]
 
     if block_resume:
         # group by generator block; resume from cached per-image states so
         # blocks upstream of the perturbed coordinate are never recomputed.
-        # ONE dispatch; the host does NOT wait — id-building and the block-0
-        # sweep dispatch proceed while the capture executes (device-order
-        # dependencies keep it correct)
-        states = _capture_states(modules, params, cfg, w_dev, noise_j, phase1_batch)
+        # The fast path already captured them inside phase 1 (same generator
+        # forward); the filter path re-captures over the survivors. Either
+        # way the host does NOT wait — id-building and the block-0 sweep
+        # dispatch proceed while the device works
+        if capture_in_phase1:
+            states = list(phase1_states)
+        else:
+            states = _capture_states(modules, params, cfg, w_dev, noise_j, phase1_batch)
         _mark("capture_states", states[0][0])
         block_dims = modules.G.block_dims
         per_block = []
@@ -552,7 +578,7 @@ def find_discriminator_threshold(
         tail = phase1_batch - chunk.shape[0]
         if tail:  # fixed batch: a ragged tail would compile a second program
             chunk = np.concatenate([chunk, np.zeros((tail,) + chunk.shape[1:], chunk.dtype)])
-        _, _, d, _ = phase1(jnp.asarray(chunk))
+        _, _, d, _, _ = phase1(jnp.asarray(chunk))
         outs.append(np.asarray(d).reshape(-1)[: phase1_batch - tail])
     return np.concatenate(outs)
 

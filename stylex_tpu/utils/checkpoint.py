@@ -139,7 +139,7 @@ def load_checkpoint(path: str, state_template):
     (observed: a 37-minute remote recompile of an already-cached step).
     """
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     payload = serialization.msgpack_restore(Path(path).read_bytes())
     restored = serialization.from_state_dict(state_template, payload["state"])
@@ -147,9 +147,15 @@ def load_checkpoint(path: str, state_template):
     def place(t, v):
         if not hasattr(t, "dtype"):
             return v
-        arr = jnp.asarray(v, getattr(t, "dtype", None))
+        # host-side dtype fixup + device_put: never builds an XLA program
+        # (jnp.asarray with a dtype change compiles one tiny convert program
+        # per leaf — ~0.45 s each through the relay)
+        arr = np.asarray(v)
+        dt = getattr(t, "dtype", None)
+        if dt is not None and arr.dtype != np.dtype(dt):
+            arr = arr.astype(dt)
         sharding = getattr(t, "sharding", None)
-        return jax.device_put(arr, sharding) if sharding is not None else arr
+        return jax.device_put(arr, sharding) if sharding is not None else jax.device_put(arr)
 
     return jax.tree.map(place, state_template, restored)
 
@@ -175,6 +181,7 @@ def load_checkpoint_inference(path: str, state_template, ship_ema: bool = True,
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     payload = serialization.msgpack_restore(Path(path).read_bytes())
     restored = serialization.from_state_dict(state_template, payload["state"])
@@ -185,11 +192,16 @@ def load_checkpoint_inference(path: str, state_template, ship_ema: bool = True,
         dt = getattr(t, "dtype", None)
         if cast_floats and param_dtype is not None and dt == jnp.float32:
             dt = param_dtype
-        # jnp.asarray converts on the host (numpy/ml_dtypes), so the wire
-        # carries the narrow dtype
-        arr = jnp.asarray(v, dt)
+        # cast with numpy/ml_dtypes ON THE HOST and ship with device_put:
+        # the wire carries the narrow dtype and no XLA program is built.
+        # (jnp.asarray(v, dt) compiles one convert_element_type program PER
+        # LEAF — measured 144 programs x ~0.45 s through the relay, i.e.
+        # ~65 s of the r5 bf16 AttFind record's checkpoint load.)
+        arr = np.asarray(v)
+        if arr.dtype != np.dtype(dt):
+            arr = arr.astype(dt)
         sharding = getattr(t, "sharding", None)
-        return jax.device_put(arr, sharding) if sharding is not None else arr
+        return jax.device_put(arr, sharding) if sharding is not None else jax.device_put(arr)
 
     hot = {"params", "step", "pl_mean"}
     if ship_ema:
