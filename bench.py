@@ -273,6 +273,7 @@ _ROW_RESERVE_S = {
     "attfind256": 180.0,
     "attfind64_resume": 150.0,
     "attfind64_resnet": 120.0,
+    "attfind64_resnet_bf16": 120.0,
 }
 
 
@@ -345,9 +346,24 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
         # the reference CLI's default classifier (`cli.py:113`): ResNet-18
         # with the 64->224 bilinear resize inside every perturbed forward
         # (`resnet_classifier.py:61`) — the heavier published workload
-        v, _ = bench_attfind(64, coord_batch=308, dtype=dtype,
-                             with_mfu=False, classifier="resnet")
+        # with_mfu: the measured MFU is the roofline argument for this row
+        # (the 224px ResNet-18 forward dominates per-style FLOPs)
+        v, mfu = bench_attfind(64, coord_batch=308, dtype=dtype,
+                               with_mfu=True, classifier="resnet")
         extras["attfind64_resnet_styles_per_sec"] = round(v, 1)
+        if mfu is not None:
+            extras["attfind64_resnet_mfu"] = round(mfu, 4)
+
+    def resnet64_bf16():
+        # VERDICT r4 Next #6: the f32 resnet sweep sits near the f32 conv
+        # roofline (the 224px ResNet-18 forward dominates the per-style
+        # FLOPs — docs/ROOFLINE.md "resnet sweep" section), so the headroom
+        # is the doubled-throughput bf16 MXU path, not graph surgery
+        v, mfu = bench_attfind(64, coord_batch=308, dtype=jnp.bfloat16,
+                               with_mfu=True, classifier="resnet")
+        extras["attfind64_resnet_bf16_styles_per_sec"] = round(v, 1)
+        if mfu is not None:
+            extras["attfind64_resnet_bf16_mfu"] = round(mfu, 4)
 
     def t64():
         v, dt, mfu = bench_train_step(64, batch=4, accum=8,
@@ -411,6 +427,7 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
     gated("attfind256", a256)
     gated("attfind64_resume", resume64)
     gated("attfind64_resnet", resnet64)
+    gated("attfind64_resnet_bf16", resnet64_bf16)
     extras["skipped"] = skipped
     extras["elapsed_s"] = round(_elapsed(), 1)
     flush()
