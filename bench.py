@@ -273,7 +273,7 @@ _ROW_RESERVE_S = {
     "attfind256": 180.0,
     "attfind64_resume": 150.0,
     "attfind64_resnet": 120.0,
-    "attfind64_resnet_bf16": 120.0,
+    "attfind64_resnet_f32": 120.0,
 }
 
 
@@ -354,16 +354,18 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
         if mfu is not None:
             extras["attfind64_resnet_mfu"] = round(mfu, 4)
 
-    def resnet64_bf16():
-        # VERDICT r4 Next #6: the f32 resnet sweep sits near the f32 conv
-        # roofline (the 224px ResNet-18 forward dominates the per-style
-        # FLOPs — docs/ROOFLINE.md "resnet sweep" section), so the headroom
-        # is the doubled-throughput bf16 MXU path, not graph surgery
-        v, mfu = bench_attfind(64, coord_batch=308, dtype=jnp.bfloat16,
+    def resnet64_f32():
+        # VERDICT r4 Next #6 A/B: the primary-dtype row above is bf16 (the
+        # bench default), so the counterpart worth measuring is the
+        # reference-faithful f32 sweep — together with the MFUs they are
+        # the floor argument for this path (the 224px ResNet-18 forward,
+        # ~3.6 GF/style, dominates; the 64->224 resize lowers to two
+        # tensordots and is noise)
+        v, mfu = bench_attfind(64, coord_batch=308, dtype=jnp.float32,
                                with_mfu=True, classifier="resnet")
-        extras["attfind64_resnet_bf16_styles_per_sec"] = round(v, 1)
+        extras["attfind64_resnet_f32_styles_per_sec"] = round(v, 1)
         if mfu is not None:
-            extras["attfind64_resnet_bf16_mfu"] = round(mfu, 4)
+            extras["attfind64_resnet_f32_mfu"] = round(mfu, 4)
 
     def t64():
         v, dt, mfu = bench_train_step(64, batch=4, accum=8,
@@ -427,7 +429,7 @@ def _run_extras(dtype, extras: dict, log, flush=lambda: None) -> None:
     gated("attfind256", a256)
     gated("attfind64_resume", resume64)
     gated("attfind64_resnet", resnet64)
-    gated("attfind64_resnet_bf16", resnet64_bf16)
+    gated("attfind64_resnet_f32", resnet64_f32)
     extras["skipped"] = skipped
     extras["elapsed_s"] = round(_elapsed(), 1)
     flush()
