@@ -57,6 +57,27 @@ class AttFindRecords:
     stage_walls: Optional[Dict[str, float]] = None
 
 
+def _split_classifier(classifier_fn):
+    """Split a classifier callable into ``(pure_fn, variables)``.
+
+    jit treats closed-over concrete arrays as CONSTANTS and embeds them in
+    the compiled executable. With the classifier (and generator) weights
+    closed over, every AttFind program serialized to 100s of MB (the r5
+    phase-1 scan: 520 MB) — each run then re-compiled and re-shipped those
+    constants through the TPU relay, costing ~50 s per "warm" run. Passing
+    the weights as runtime arguments keeps executables weight-free and
+    makes the persistent compile cache hit across runs AND checkpoints.
+
+    A :class:`~stylex_tpu.models.classifiers.ClassifierBundle` bound method
+    splits losslessly; any other callable falls back to the closure (its
+    weights, if any, stay constants — correct, just not cache-friendly).
+    """
+    bundle = getattr(classifier_fn, "__self__", None)
+    if bundle is not None and hasattr(bundle, "classify_with"):
+        return bundle.classify_with, bundle.variables
+    return (lambda _vars, x: classifier_fn(x)), ()
+
+
 def _phase1(modules, params, classifier_fn, cfg, images, noise, capture=False):
     """Encode -> w -> generate(+coords) -> D score -> base logits, batched.
 
@@ -135,10 +156,14 @@ def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
     ships a few KB of indices per launch instead of per-image tensors, and a
     chunk freely spans image boundaries — no per-image tail padding, ~N×
     fewer dispatches than a per-image loop (VERDICT r1 Weak #6).
-    """
 
-    def sweep(w_all, noise, coords_all, minima, maxima, base_all,
-              img_idx, coord_idx, is_max):
+    The generator/classifier weights enter as runtime arguments (bound by
+    the returned wrapper), NOT closures — see :func:`_split_classifier`.
+    """
+    clf_pure, clf_vars = _split_classifier(classifier_fn)
+
+    def sweep(params, clf_v, w_all, noise, coords_all, minima, maxima,
+              base_all, img_idx, coord_idx, is_max):
         extreme = jnp.where(is_max, maxima[coord_idx], minima[coord_idx])
         current = coords_all[img_idx, coord_idx]
         shift = (extreme - current) * shift_size
@@ -150,19 +175,25 @@ def _make_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
         # conv-output add — materialising them per chunk element costs
         # ~GBs of pure HBM traffic per chunk (docs/ROOFLINE.md)
         gen, _ = modules.generate(params, w_styles, noise, style_delta=deltas)
-        logits = classifier_fn(gen)
+        logits = clf_pure(clf_v, gen)
         return logits - base_all[img_idx]
 
     if chunks_per_dispatch > 1:
-        return _scan_chunks(sweep, 6, mesh)
-    if mesh is not None:
+        jfn = _scan_chunks(sweep, 8, mesh)
+    elif mesh is not None:
         repl, flat = replicated(mesh), coordinate_sharding(mesh, ndim=1)
-        return jax.jit(
+        jfn = jax.jit(
             sweep,
-            in_shardings=(repl, repl, repl, repl, repl, repl, flat, flat, flat),
+            in_shardings=(repl,) * 8 + (flat, flat, flat),
             out_shardings=coordinate_sharding(mesh, ndim=2),
         )
-    return jax.jit(sweep)
+    else:
+        jfn = jax.jit(sweep)
+
+    def bound(*args):
+        return jfn(params, clf_vars, *args)
+
+    return bound
 
 
 def _capture_states(modules, params, cfg, w_all, noise, phase1_batch):
@@ -182,20 +213,20 @@ def _capture_states(modules, params, cfg, w_all, noise, phase1_batch):
     pad = M * B - N
 
     @jax.jit
-    def cap_all(w):
+    def cap_all(p, w):
         if pad:
             w = jnp.concatenate([w, jnp.zeros((pad,) + w.shape[1:], w.dtype)])
         w = w.reshape(M, B, w.shape[-1])
 
         def body(_, wc):
             w_styles = expand_styles(wc, modules.num_layers)
-            _, _, states = modules.generate(params, w_styles, noise, capture_states=True)
+            _, _, states = modules.generate(p, w_styles, noise, capture_states=True)
             return None, states
 
         _, states = lax.scan(body, None, w)
         return jax.tree.map(lambda s: s.reshape((M * B,) + s.shape[2:]), states)
 
-    return list(cap_all(w_all))
+    return list(cap_all(params, w_all))
 
 
 def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
@@ -205,10 +236,12 @@ def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
     from per-image cached entry states: a perturbation at block k cannot
     change blocks < k, so their recompute is skipped entirely (the
     reference re-runs its full generator for every one of ~1.23M bias
-    mutations, `run_attfind_combined.ipynb` cell 5)."""
+    mutations, `run_attfind_combined.ipynb` cell 5). Weights are runtime
+    arguments, not closures (:func:`_split_classifier`)."""
+    clf_pure, clf_vars = _split_classifier(classifier_fn)
 
-    def sweep(x_state, rgb_state, w_all, noise, coords_all, minima, maxima,
-              base_all, img_idx, coord_idx, is_max):
+    def sweep(params, clf_v, x_state, rgb_state, w_all, noise, coords_all,
+              minima, maxima, base_all, img_idx, coord_idx, is_max):
         extreme = jnp.where(is_max, maxima[coord_idx], minima[coord_idx])
         current = coords_all[img_idx, coord_idx]
         shift = (extreme - current) * shift_size
@@ -223,7 +256,7 @@ def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
             params, w_styles, noise, style_delta=deltas,
             start_block=start_block, initial_state=state,
         )
-        logits = classifier_fn(gen)
+        logits = clf_pure(clf_v, gen)
         return logits - base_all[img_idx]
 
     if mesh is not None:
@@ -231,18 +264,26 @@ def _make_resume_sweep_fn(modules, params, classifier_fn, cfg, num_coords: int,
         # block 0 has no incoming rgb: that argument is None (an empty
         # pytree), whose sharding slot must be None as well
         rgb_spec = repl if start_block > 0 else None
-        heavy_specs = (repl, rgb_spec, repl, repl, repl, repl, repl, repl)
+        heavy_specs = (repl, repl, repl, rgb_spec, repl, repl, repl, repl,
+                       repl, repl)
         if chunks_per_dispatch > 1:
-            return _scan_chunks(sweep, 8, mesh, heavy_specs)
-        flat = coordinate_sharding(mesh, ndim=1)
-        return jax.jit(
-            sweep,
-            in_shardings=heavy_specs + (flat, flat, flat),
-            out_shardings=coordinate_sharding(mesh, ndim=2),
-        )
-    if chunks_per_dispatch > 1:
-        return _scan_chunks(sweep, 8)
-    return jax.jit(sweep)
+            jfn = _scan_chunks(sweep, 10, mesh, heavy_specs)
+        else:
+            flat = coordinate_sharding(mesh, ndim=1)
+            jfn = jax.jit(
+                sweep,
+                in_shardings=heavy_specs + (flat, flat, flat),
+                out_shardings=coordinate_sharding(mesh, ndim=2),
+            )
+    elif chunks_per_dispatch > 1:
+        jfn = _scan_chunks(sweep, 10)
+    else:
+        jfn = jax.jit(sweep)
+
+    def bound(*args):
+        return jfn(params, clf_vars, *args)
+
+    return bound
 
 
 def attfind_extraction(
@@ -362,13 +403,15 @@ def _attfind_extraction_body(
     # filter path captures after filtering instead
     capture_in_phase1 = block_resume and not use_filter
 
+    clf_pure, clf_vars = _split_classifier(classifier_fn)
+
     @jax.jit
-    def phase1_all(imgs):
+    def phase1_all(p, clf_v, imgs):
         imgs = imgs.astype(dtype)
 
         def body(_, chunk):
             return None, _phase1(
-                modules, params, classifier_fn, cfg, chunk, noise_j,
+                modules, p, lambda x: clf_pure(clf_v, x), cfg, chunk, noise_j,
                 capture=capture_in_phase1,
             )
 
@@ -385,7 +428,7 @@ def _attfind_extraction_body(
         return w, sc, d, bl, mins, maxs, states
 
     (w_dev, coords_dev, d_dev, base_dev, min_dev, max_dev,
-     phase1_states) = phase1_all(imgs_host)
+     phase1_states) = phase1_all(params, clf_vars, imgs_host)
     _mark("phase1", w_dev)
 
     if use_filter or (num_images is not None and P < num_images):
@@ -570,7 +613,12 @@ def find_discriminator_threshold(
     threshold (`find_discriminator_threshold`, cell 5)."""
     cfg = modules.cfg
     noise_j = jnp.asarray(noise)
-    phase1 = jax.jit(lambda imgs: _phase1(modules, params, classifier_fn, cfg, imgs, noise_j))
+    clf_pure, clf_vars = _split_classifier(classifier_fn)
+    phase1 = jax.jit(
+        lambda p, cv, imgs: _phase1(
+            modules, p, lambda x: clf_pure(cv, x), cfg, imgs, noise_j
+        )
+    )
     outs = []
     images = np.asarray(images, np.float32)
     for start in range(0, images.shape[0], phase1_batch):
@@ -578,7 +626,7 @@ def find_discriminator_threshold(
         tail = phase1_batch - chunk.shape[0]
         if tail:  # fixed batch: a ragged tail would compile a second program
             chunk = np.concatenate([chunk, np.zeros((tail,) + chunk.shape[1:], chunk.dtype)])
-        _, _, d, _, _ = phase1(jnp.asarray(chunk))
+        _, _, d, _, _ = phase1(params, clf_vars, jnp.asarray(chunk))
         outs.append(np.asarray(d).reshape(-1)[: phase1_batch - tail])
     return np.concatenate(outs)
 

@@ -36,20 +36,23 @@ _GEN_JIT_CACHE: dict = {}
 
 
 def _gen(modules, params, classifier_fn, w, noise, delta=None):
+    from stylex_tpu.attfind.extraction import _split_classifier
+
+    clf_pure, clf_vars = _split_classifier(classifier_fn)
     key = (id(modules), id(classifier_fn))
     fn = _GEN_JIT_CACHE.get(key)
     if fn is None:
 
-        def run(params, w, noise, delta):
+        def run(params, clf_v, w, noise, delta):
             w_styles = expand_styles(w, modules.num_layers)
             # shared noise stays batch-1; the generator broadcasts at the add
             imgs, _ = modules.generate(params, w_styles, noise, style_delta=delta)
-            probs = jax.nn.softmax(classifier_fn(imgs), axis=-1)
+            probs = jax.nn.softmax(clf_pure(clf_v, imgs), axis=-1)
             return jnp.clip(imgs, 0.0, 1.0), probs
 
         fn = jax.jit(run)
         _GEN_JIT_CACHE[key] = fn
-    return fn(params, w, jnp.asarray(noise), delta)
+    return fn(params, clf_vars, w, jnp.asarray(noise), delta)
 
 
 def generate_change_image_given_dlatent(

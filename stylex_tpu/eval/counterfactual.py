@@ -200,15 +200,17 @@ def create_counterfactual_dataset(
 def _make_counterfactual_gen_fn(modules, params):
     """One jitted generator forward shared by all k+1 fid_topk passes —
     per-call eager forwards would pay remote compiles per op shape on
-    relayed TPUs (utils/device.py)."""
+    relayed TPUs (utils/device.py). ``params`` rides as a runtime argument
+    (bound here) so the weights are not baked into the executable as
+    constants (see ``attfind.extraction._split_classifier``)."""
 
     @jax.jit
-    def gen(w, noise_b, deltas):
+    def gen(p, w, noise_b, deltas):
         w_styles = expand_styles(w, modules.num_layers)
-        imgs, _ = modules.generate(params, w_styles, noise_b, style_delta=deltas)
+        imgs, _ = modules.generate(p, w_styles, noise_b, style_delta=deltas)
         return jnp.clip(imgs, 0.0, 1.0)
 
-    return gen
+    return lambda w, noise_b, deltas: gen(params, w, noise_b, deltas)
 
 
 def fid_topk(

@@ -208,6 +208,15 @@ class ClassifierBundle:
 
     def classify_images(self, images: jax.Array) -> jax.Array:
         """(B, H, W, 3) in [0,1] -> (B, num_classes) logits."""
+        return self.classify_with(self.variables, images)
+
+    def classify_with(self, variables, images: jax.Array) -> jax.Array:
+        """Like :meth:`classify_images` but pure in the weights: jitted
+        callers pass ``variables`` as a runtime argument so the classifier
+        weights are NOT baked into the executable as constants (constant
+        embedding bloats AttFind executables to 100s of MB — every run then
+        re-compiles/re-ships them through the relay; see
+        ``attfind.extraction._split_classifier``)."""
         b, h, w, c = images.shape
         if self.kind == "resnet":
             # bilinear resize to 224 (`resnet_classifier.py:61`)
@@ -225,7 +234,7 @@ class ClassifierBundle:
                 )
         if self.normalize:
             x = imagenet_normalize(x)
-        return self.apply_fn(self.variables, x)
+        return self.apply_fn(variables, x)
 
     def __call__(self, images: jax.Array) -> jax.Array:
         return self.classify_images(images)
