@@ -123,5 +123,11 @@ def test_starved_child_end_to_end(bench, tmp_path):
     for k in ("attfind64_mfu", "train64_imgs_per_sec", "train64_step_seconds",
               "train256_imgs_per_sec"):
         assert out[k] == PRIOR[k], k
-    assert len(out["skipped"]) == 10  # every row gated out
+    # every gated row skipped — count the registrations so adding a row
+    # to bench.py can't silently stale this assertion (r5: 10 -> 11)
+    import re
+
+    n_gated = len(re.findall(r'^\s*gated\("', open(os.path.join(REPO, "bench.py")).read(), re.M))
+    assert len(out["skipped"]) == n_gated
+    assert all(s["reason"] == "budget" for s in out["skipped"])
     assert set(out["carried_forward"]) >= {"attfind64_mfu", "train64_imgs_per_sec"}
