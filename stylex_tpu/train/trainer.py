@@ -655,10 +655,18 @@ class Trainer:
         return str(out)
 
     # -------------------------------------------------------------------- FID
-    def calculate_fid(self, num_batches: int) -> float:
+    def calculate_fid(self, num_batches: int, eval_batch_images: int = 64) -> float:
         """FID between real samples and EMA-generated samples
         (`calculate_fid`, `:1577-1622`); features/math in
         :mod:`stylex_tpu.eval.fid`, computed fully on device.
+
+        ``num_batches`` counts train-batch-sized batches (the reference's
+        accounting); the actual device dispatches are regrouped into
+        ``eval_batch_images``-image batches. The reference streams FID at
+        the train batch size, which at batch 4 means ~1000 dispatches per
+        FID stop — pure round-trip latency on a remote-tunneled chip. Eval
+        batch size is a free parameter (no optimizer state), so it is
+        decoupled from the training schedule.
 
         Real-side feature statistics are cached in ``fid_dir`` across
         calls (the reference caches the dumped real PNGs the same way,
@@ -673,22 +681,37 @@ class Trainer:
         cfg = self.model_cfg
         tc = self.train_cfg
         L = self.modules.num_layers
+        total = num_batches * tc.batch_size
+        group = max(1, eval_batch_images // tc.batch_size)
 
         def real_batches():
-            for _ in range(num_batches):
-                yield as_float01(np.asarray(next(self.loader.sample_loader)))
+            done = 0
+            while done < total:
+                k = min(group, math.ceil((total - done) / tc.batch_size))
+                yield as_float01(
+                    np.concatenate(
+                        [np.asarray(next(self.loader.sample_loader)) for _ in range(k)],
+                        axis=0,
+                    )
+                )
+                done += k * tc.batch_size
 
         def fake_batches():
-            for i in range(num_batches):
+            done = 0
+            i = 0
+            while done < total:
+                b = min(group * tc.batch_size, total - done)
                 k = jax.random.PRNGKey(i)
+                i += 1
                 kz, kn = jax.random.split(k)
-                z = latent_noise(kz, tc.batch_size, cfg.mapping_dim)
+                z = latent_noise(kz, b, cfg.mapping_dim)
                 w = self.modules.map_z(self.full_params, z, ema=True)
                 if cfg.arch == Arch.NEW:
-                    probs = jnp.full((tc.batch_size, cfg.num_classes), 1.0 / cfg.num_classes)
+                    probs = jnp.full((b, cfg.num_classes), 1.0 / cfg.num_classes)
                     w = jnp.concatenate([w, probs], axis=-1)
-                noise = image_noise(kn, tc.batch_size, cfg.image_size)
+                noise = image_noise(kn, b, cfg.image_size)
                 yield np.asarray(self.generate_images(expand_styles(w, L), noise, ema=True))
+                done += b
 
         feature_fn = resolve_feature_fn()
         tag = getattr(feature_fn, "tag", "custom")
