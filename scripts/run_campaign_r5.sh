@@ -52,7 +52,7 @@ fi
 
 step "A3 StylEx OLD arch 64px: 5,600 steps (PL fires after 5,000)"
 python -m stylex_tpu.cli --data $DATA64 --results-dir runs/results \
-  --models-dir runs/models --name camp_r5 --new \
+  --models-dir runs/models --name camp_r5 \
   --image-size 64 --batch-size 4 --gradient-accumulate-every 8 \
   --classifier-name mobilenet \
   --classifier-path runs/models/synth64_mobilenet.msgpack \
@@ -60,10 +60,11 @@ python -m stylex_tpu.cli --data $DATA64 --results-dir runs/results \
   --calculate-fid-every 2000 --calculate-fid-num-images 2048 \
   --steps-per-dispatch 10 --tensorboard-dir none --seed 42 \
   --num-train-steps 5600 \
-  > $LOG/train64.log 2>&1 || { echo TRAIN64_FAILED; tail -30 $LOG/train64.log; exit 1; }
+  >> $LOG/train64.log 2>&1 || { echo TRAIN64_FAILED; tail -30 $LOG/train64.log; exit 1; }
 # the PL boundary evidence: finite PL after step 5,000
 grep "PL:" $LOG/train64.log | tail -3
 
+if [ -n "${RUN_A4:-}" ]; then
 step "A4 AttFind 250 images, f32 (cold caches)"
 time python -m stylex_tpu.run_attfind --name camp_r5 \
   --models-dir runs/models --data $DATA64 \
@@ -73,6 +74,7 @@ time python -m stylex_tpu.run_attfind --name camp_r5 \
   --results-folder runs/attfind_r5_cold --visualize-top 0 \
   > $LOG/attfind250_cold.log 2>&1 || { echo ATTFIND_COLD_FAILED; tail -30 $LOG/attfind250_cold.log; exit 1; }
 tail -4 $LOG/attfind250_cold.log
+fi
 
 step "A5 AttFind 250 images, f32 (warm caches) — the committed record"
 time python -m stylex_tpu.run_attfind --name camp_r5 \
@@ -84,6 +86,7 @@ time python -m stylex_tpu.run_attfind --name camp_r5 \
   > $LOG/attfind250_warm.log 2>&1 || { echo ATTFIND_WARM_FAILED; tail -30 $LOG/attfind250_warm.log; exit 1; }
 tail -6 $LOG/attfind250_warm.log
 
+if [ -n "${RUN_A6:-}" ]; then
 step "A6 AttFind 250 images, bf16 (TPU-native fast path)"
 time python -m stylex_tpu.run_attfind --name camp_r5 \
   --models-dir runs/models --data $DATA64 \
@@ -93,6 +96,7 @@ time python -m stylex_tpu.run_attfind --name camp_r5 \
   --results-folder runs/attfind_r5_bf16 --visualize-top 0 \
   > $LOG/attfind250_bf16.log 2>&1 || { echo ATTFIND_BF16_FAILED; tail -30 $LOG/attfind250_bf16.log; exit 1; }
 tail -4 $LOG/attfind250_bf16.log
+fi
 
 fi  # SKIP_A
 
@@ -123,7 +127,7 @@ fi
 STEPS256=${STEPS256:-3000}
 step "B3 StylEx NEW arch @256px, bf16 + remat, $STEPS256 steps"
 python -m stylex_tpu.cli --data $DATA256 --results-dir runs/results \
-  --models-dir runs/models --name camp_r5_256 --new \
+  --models-dir runs/models --name camp_r5_256 \
   --image-size 256 --batch-size 4 --gradient-accumulate-every 2 \
   --bf16 --remat --use-old-architecture false \
   --classifier-name mobilenet \
@@ -132,7 +136,7 @@ python -m stylex_tpu.cli --data $DATA256 --results-dir runs/results \
   --evaluate-every 500 --num-image-tiles 4 \
   --calculate-fid-every 1500 --calculate-fid-num-images 1024 \
   --steps-per-dispatch 10 --tensorboard-dir none --seed 7 \
-  > $LOG/train256.log 2>&1 || { echo TRAIN256_FAILED; tail -30 $LOG/train256.log; exit 1; }
+  >> $LOG/train256.log 2>&1 || { echo TRAIN256_FAILED; tail -30 $LOG/train256.log; exit 1; }
 grep "PL:\|step " $LOG/train256.log | tail -3
 
 step "B4 AttFind-256: 250 images end-to-end"
